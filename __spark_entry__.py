@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (spatial join of geotagged events
+against granule footprints → per-tile counts) at sf0.001. ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 with
+its DuckDB oracle (see copernicusdata_jl_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers via addPyFile — the
+    spark-submit --py-files mechanism (north rule), so the engine works no
+    matter where the driver process was launched from."""
+    if getattr(spark, "_cdjl_shipped", False):
+        return
+    pkg = os.path.join(REPO, "copernicusdata_jl_spark")
+    zpath = os.path.join(spark.sparkContext._temp_dir, "copernicusdata_jl_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    spark.sparkContext.addPyFile(zpath)
+    spark._cdjl_shipped = True
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geotag → EQC cell index → broadcast cover join → PIP refine
+    → per-footprint-tile counts, on sf0.001."""
+    from pyspark.sql import functions as F
+
+    from copernicusdata_jl_spark import fixtures
+    from copernicusdata_jl_spark.operators.spatial_join import spatial_join
+    from copernicusdata_jl_spark.queries import geotagged_events
+
+    _ensure_shipped(spark)
+
+    ev = geotagged_events(spark, "/root/testdata/sf0.001")
+    polys = fixtures.footprints(60)
+    for p in polys:
+        p["poly_id"] = p["product_id"]
+    joined = spatial_join(ev, polys, res=7, keep_cols=["event_id"], strategy="broadcast")
+    tile_by_poly = {p["product_id"]: p["tile_id"] for p in polys}
+    tile_map = F.create_map(*[F.lit(v) for kv in tile_by_poly.items() for v in kv])
+    return (
+        joined.withColumn("tile_id", tile_map[F.col("poly_id")])
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("tile_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from copernicusdata_jl_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from copernicusdata_jl_spark.queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Throughput framing (north rule): the flagship spatial-join+tiling job also
+reports docs/sec. Scaling-efficiency evidence (local[8] vs local[32]) is
+produced by tools/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "sortmerge_join",
+    "broadcast_join",
+    "cell_index",
+    "cell_rollup",
+    "spatial_join_rect",
+    "knn_bruteforce",
+    "tile_assign",
+    "window_dedup",
+    "dedup_exact",
+    "token_quality",
+    "extract_digest",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from copernicusdata_jl_spark.queries import REGISTRY, geotagged_events
+    from copernicusdata_jl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footer caches with a trivial action
+    n_docs = geotagged_events(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        rows = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        assert rows >= 0
+
+    total = round(sum(times.values()), 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # flagship docs/sec: full spatial-join pipeline rows per wall-second
+    t0 = time.perf_counter()
+    joined = REGISTRY["spatial_join_rect"][0](spark, sf_dir).count()
+    join_sec = time.perf_counter() - t0
+    out = {
+        "metric": "headline-queries-total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "docs_per_sec": round(n_docs / join_sec, 1),
+        "n_docs": n_docs,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

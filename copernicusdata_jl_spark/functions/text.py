@@ -1,0 +1,222 @@
+"""Deterministic text kernels: HTML→text extraction, language ID, quality
+scoring, token counting, winnowing fingerprints.
+
+The extractor is the engine's per-row invariant gate: byte-identical ``text``
+per ``url`` across runs/partitions/parallelism (BASELINE.json input hint).
+It is pure (no locale, wall-clock, or library-version dependence — a fixed
+regex pipeline), runs as an Arrow-batched pandas UDF, and has an
+independently-written ANSI-SQL twin (:func:`extract_text_sql`) so any SQL
+engine can oracle the digests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic HTML (fixture twin of the extractor)
+# ---------------------------------------------------------------------------
+
+WORDS = (
+    "granule tile orbit sensor radiance pixel swath nadir band mask cloud "
+    "ocean land coast river delta plain ridge basin crater dune reef atoll "
+    "fjord steppe tundra taiga karst mesa butte playa wadi arroyo cirque "
+    "moraine esker drumlin kame kettle loess"
+).split()
+
+
+def _sentence(i: int, k: int) -> str:
+    n = 5 + (i + k) % 7
+    return " ".join(WORDS[(i * 7 + k * 13 + j * 3) % len(WORDS)] for j in range(n)) + "."
+
+
+def render_html(i: int) -> str:
+    """Deterministic page HTML for document ``i`` (byte-exact per i)."""
+    paras = "".join(f"<p>{_sentence(i, k)}</p>" for k in range(1 + i % 3))
+    return (
+        f"<html><head><title>doc {i}</title><meta charset=\"utf-8\"/>"
+        f"<style>p{{margin:0}}</style></head>"
+        f"<body><h1>Document {i}</h1>{paras}"
+        f"<script>var x={i};</script></body></html>"
+    )
+
+
+def expected_text(i: int) -> str:
+    """Golden extractor output for ``render_html(i)`` — written independently
+    of the extractor so tests compare two derivations."""
+    paras = " ".join(_sentence(i, k) for k in range(1 + i % 3))
+    return f"doc {i} Document {i} {paras}"
+
+
+# ---------------------------------------------------------------------------
+# Extractor — Arrow-batched, pure regex pipeline
+# ---------------------------------------------------------------------------
+
+_RE_SCRIPT = re.compile(r"<script\b[^>]*>.*?</script>", re.S | re.I)
+_RE_STYLE = re.compile(r"<style\b[^>]*>.*?</style>", re.S | re.I)
+_RE_TAG = re.compile(r"<[^>]*>")
+_RE_WS = re.compile(r"[ \t\n\r\f]+")
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def extract_text_py(html: str) -> str:
+    """Pure-Python single-string extractor (the specification)."""
+    s = _RE_SCRIPT.sub(" ", html)
+    s = _RE_STYLE.sub(" ", s)
+    s = _RE_TAG.sub(" ", s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return _RE_WS.sub(" ", s).strip()
+
+
+def extract_text_batch(html: pd.Series) -> pd.Series:
+    """Vectorized pandas twin (str accessor = C-loop over the batch)."""
+    s = html
+    if len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
+        s = s.str.decode("utf-8")
+    s = s.astype("string")
+    s = s.str.replace(_RE_SCRIPT, " ", regex=True)
+    s = s.str.replace(_RE_STYLE, " ", regex=True)
+    s = s.str.replace(_RE_TAG, " ", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s.str.replace(_RE_WS, " ", regex=True).str.strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return extract_text_batch(html)
+
+
+def with_extracted_text(df: DataFrame, html_col: str = "html", out_col: str = "text") -> DataFrame:
+    """Attach extracted text + sha256 digest columns (digest JVM-side)."""
+    return df.withColumn(out_col, extract_text_udf(F.col(html_col))).withColumn(
+        f"{out_col}_sha256", F.sha2(F.col(out_col), 256)
+    )
+
+
+def extract_text_sql(html_expr: str) -> str:
+    """ANSI-SQL twin of the extractor (DuckDB/RE2-compatible), used as the
+    independent oracle for digest parity. Mirrors extract_text_py exactly
+    for HTML without nested/malformed tags."""
+    s = f"regexp_replace({html_expr}, '<script[^>]*>.*?</script>', ' ', 'gs')"
+    s = f"regexp_replace({s}, '<style[^>]*>.*?</style>', ' ', 'gs')"
+    s = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{ch_sql}')"
+    return f"trim(regexp_replace({s}, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic) — portable column expressions
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " los ", " y "],
+    "pt": [" o ", " os ", " e "],
+}
+
+
+def _count_occurrences_sql(text_expr: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return f"CAST((length({text_expr}) - length(replace({text_expr}, '{n}', ''))) / {len(needle)} AS BIGINT)"
+
+
+def lang_score_sql(text_expr: str, lang: str) -> str:
+    """Marker-hit count for one language over lowercase padded text."""
+    padded = f"(' ' || lower({text_expr}) || ' ')"
+    return "(" + " + ".join(_count_occurrences_sql(padded, m) for m in LANG_MARKERS[lang]) + ")"
+
+
+def lang_score_expr(text: Column, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0).cast("long")
+    for m in LANG_MARKERS[lang]:
+        score = score + ((F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / len(m)).cast("long")
+    return score
+
+
+# ---------------------------------------------------------------------------
+# Quality / tokens — portable column expressions
+# ---------------------------------------------------------------------------
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count after collapse; JVM-side."""
+    norm = F.trim(F.regexp_replace(text, "[ \\t\\n\\r\\f]+", " "))
+    return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(
+        F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+
+
+def token_count_sql(text_expr: str) -> str:
+    norm = f"trim(regexp_replace({text_expr}, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+    return (
+        f"CAST(CASE WHEN length({norm}) = 0 THEN 0 ELSE "
+        f"length({norm}) - length(replace({norm}, ' ', '')) + 1 END AS BIGINT)"
+    )
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Length/terminal-punctuation/word-shape heuristic in [0,1]; JVM-side.
+
+    score = 0.4·min(1, chars/500) + 0.3·min(1, tokens/100)
+          + 0.3·(ends with sentence punctuation)."""
+    chars = F.length(text).cast("double")
+    toks = token_count_expr(text).cast("double")
+    ends = F.when(F.regexp_like(F.rtrim(text), F.lit("[.!?]$")), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * F.least(F.lit(1.0), chars / 500.0)
+        + F.lit(0.3) * F.least(F.lit(1.0), toks / 100.0)
+        + F.lit(0.3) * ends,
+        6,
+    )
+
+
+def quality_score_sql(text_expr: str) -> str:
+    chars = f"CAST(length({text_expr}) AS DOUBLE)"
+    toks = f"CAST({token_count_sql(text_expr)} AS DOUBLE)"
+    ends = f"(CASE WHEN regexp_matches(rtrim({text_expr}), '[.!?]$') THEN 1.0 ELSE 0.0 END)"
+    return (
+        f"round(0.4 * least(1.0, {chars} / 500.0)"
+        f" + 0.3 * least(1.0, {toks} / 100.0)"
+        f" + 0.3 * {ends}, 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint (rolling hash) — Arrow-batched kernel
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(text: str, k: int = 8, w: int = 12) -> list[int]:
+    """Winnowing (Schleimer et al. 2003): min hash per window of k-gram
+    rolling hashes — deterministic md5-based, no Python hash() salt."""
+    t = re.sub(r"[ \t\n\r\f]+", " ", text.lower()).strip()
+    if len(t) < k:
+        return []
+    hashes = [
+        int.from_bytes(hashlib.md5(t[j : j + k].encode("utf-8")).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+        for j in range(len(t) - k + 1)
+    ]
+    if len(hashes) <= w:
+        return [min(hashes)]
+    arr = np.array(hashes, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, w)
+    return sorted(set(win.min(axis=1).tolist()))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda s: winnow_fingerprints(s if s is not None else ""))

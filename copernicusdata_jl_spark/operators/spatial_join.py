@@ -1,0 +1,177 @@
+"""Spatial join: cell-cover candidate generation + exact PIP refinement.
+
+Generalizes the reference's lat/lon bounding-box subsetting over per-pixel
+coordinate variables (reference test/test_yaxtree.jl:299-302 ``Where``
+selector; notebooks/slstr_l2_frp.ipynb cell 8 box plots) to polygon joins at
+scale: coarse filter = EQC cell equi-join against a compacted polygon cover;
+exact filter = vectorized ray-cast PIP (Arrow-batched) on boundary cells
+only. Interior-cell matches skip PIP entirely — at 100 TB, interior cells
+dominate (area ∝ cells², boundary ∝ cells), so the expensive kernel touches
+only the O(perimeter) fraction of candidates.
+
+Two physical strategies, picked by cover size:
+
+- ``broadcast`` (default): covers uncompacted to page resolution and
+  broadcast — a BroadcastHashJoin on ``cell_id``; the big side never
+  shuffles. Right whenever the uncompacted cover fits the broadcast
+  threshold (polygon sets up to ~10^6 cells).
+- ``sortmerge``: pages explode to their parent-cell chain (res_min..res) —
+  ~4 keys/row — and sort-merge-join the *compacted* cover on ``cell_id``.
+  Right when covers are too big to broadcast; both sides can be bucketed by
+  ``cell_id`` in storage to make the shuffle a no-op.
+
+Skew: hot cells (mega-hosts, dense cities) are handled by AQE skew-join in
+the sortmerge path and are a non-issue in the broadcast path (no shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import cells, geo
+
+COVER_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.StringType()),
+        T.StructField("cell_id", T.LongType()),
+        T.StructField("is_boundary", T.BooleanType()),
+    ]
+)
+
+
+def build_covers(
+    polygons: list[dict],
+    res: int,
+    id_key: str = "poly_id",
+    compact: bool = True,
+) -> pd.DataFrame:
+    """Compute compacted covers for a polygon list (driver-side NumPy; the
+    polygon side is small — this is the reference's ADF/broadcast shape,
+    reference src/EOTriggering.jl:156-168). Antimeridian polygons are split
+    first. Returns pandas (poly_id, cell_id, is_boundary)."""
+    ids: list[str] = []
+    cids: list[int] = []
+    bnds: list[bool] = []
+    for poly in polygons:
+        rings = [np.asarray(r, dtype=np.float64) for r in poly["rings"]]
+        for part in geo.split_antimeridian(rings):
+            cover, boundary = geo.polygon_cover(part, res=res, compact=compact)
+            ids.extend([poly[id_key]] * len(cover))
+            cids.extend(cover.tolist())
+            bnds.extend(boundary.tolist())
+    return pd.DataFrame({"poly_id": ids, "cell_id": cids, "is_boundary": bnds})
+
+
+def covers_df(spark: SparkSession, polygons: list[dict], res: int, id_key: str = "poly_id", compact: bool = True) -> DataFrame:
+    pdf = build_covers(polygons, res, id_key=id_key, compact=compact)
+    return spark.createDataFrame(pdf, schema=COVER_SCHEMA)
+
+
+def _uncompact_cover_pdf(cover: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Expand compacted interior cells to uniform page resolution."""
+    rows_id: list[str] = []
+    rows_cell: list[int] = []
+    rows_b: list[bool] = []
+    for pid, cid, b in cover.itertuples(index=False):
+        r = int(cid) >> cells.RES_BITS
+        if r == res:
+            rows_id.append(pid)
+            rows_cell.append(int(cid))
+            rows_b.append(bool(b))
+        else:
+            for leaf in cells.uncompact_cells(np.array([cid]), res).tolist():
+                rows_id.append(pid)
+                rows_cell.append(leaf)
+                rows_b.append(bool(b))
+    return pd.DataFrame({"poly_id": rows_id, "cell_id": rows_cell, "is_boundary": rows_b})
+
+
+def make_pip_udf(spark: SparkSession, polygons: list[dict], id_key: str = "poly_id"):
+    """Arrow-batched PIP refinement: (lat, lon, poly_id) -> bool.
+
+    Polygon rings ship once per executor via a Spark broadcast (not
+    re-pickled per task); inside each Arrow batch points are grouped by
+    polygon and ray-cast vectorized."""
+    # antimeridian crossers are tested against their split parts (inside any)
+    parts_by_id = {
+        p[id_key]: geo.split_antimeridian([np.asarray(r, dtype=np.float64) for r in p["rings"]])
+        for p in polygons
+    }
+    bc = spark.sparkContext.broadcast(parts_by_id)
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lat: pd.Series, lon: pd.Series, poly_id: pd.Series) -> pd.Series:
+        table = bc.value
+        out = np.zeros(len(lat), dtype=bool)
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        poly_id = poly_id.reset_index(drop=True)
+        for pid, idx in poly_id.groupby(poly_id).groups.items():
+            parts = table.get(pid)
+            if parts is None:
+                continue
+            ix = np.asarray(idx)
+            hit = np.zeros(len(ix), dtype=bool)
+            for rings in parts:
+                hit |= geo.points_in_rings(la[ix], lo[ix], rings)
+            out[ix] = hit
+        return pd.Series(out)
+
+    return pip
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons: list[dict],
+    res: int = 8,
+    id_key: str = "poly_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    strategy: str = "broadcast",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Join points to containing polygons.
+
+    Returns points' ``keep_cols`` + ``poly_id`` + ``match_kind``
+    (``interior`` | ``boundary``). Exactly the rows where the point is
+    inside the polygon (even-odd rule, half-open on horizontal edges).
+    """
+    spark = points.sparkSession
+    keep_cols = keep_cols or [c for c in points.columns if c not in (lat_col, lon_col)]
+    pts = points.withColumn("cell_id", cells.latlng_to_cell_expr(lat_col, lon_col, res))
+
+    cover_pdf = build_covers(polygons, res, id_key=id_key, compact=True)
+
+    if strategy == "broadcast":
+        flat = _uncompact_cover_pdf(cover_pdf, res)
+        cover = spark.createDataFrame(flat, schema=COVER_SCHEMA)
+        cand = pts.join(F.broadcast(cover), "cell_id", "inner")
+    elif strategy == "sortmerge":
+        res_list = sorted({int(c) >> cells.RES_BITS for c in cover_pdf["cell_id"]})
+        parents = F.array(
+            *[cells.cell_parent_expr(F.col("cell_id"), res, r) for r in res_list]
+        )
+        exploded = pts.withColumn("join_cell", F.explode(parents))
+        cover = spark.createDataFrame(cover_pdf, schema=COVER_SCHEMA).withColumnRenamed(
+            "cell_id", "join_cell"
+        )
+        # hint both sides into a shuffle merge join (covers may be huge)
+        cand = exploded.join(cover.hint("merge"), "join_cell", "inner")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    pip = make_pip_udf(spark, polygons, id_key=id_key)
+    refined = cand.filter(
+        (~F.col("is_boundary")) | pip(F.col(lat_col), F.col(lon_col), F.col("poly_id"))
+    )
+    return refined.select(
+        *keep_cols,
+        lat_col,
+        lon_col,
+        F.col("poly_id"),
+        F.when(F.col("is_boundary"), F.lit("boundary")).otherwise(F.lit("interior")).alias("match_kind"),
+    )

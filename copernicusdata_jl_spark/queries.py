@@ -1,0 +1,639 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark callable,
+ANSI-SQL oracle) pair over the driver's parquet tables.
+
+Conventions for driver parity (CORRECTNESS gate):
+- every computed column is aliased identically in Spark and SQL;
+- doubles that pass through aggregation are rounded explicitly on both
+  sides (floating-point summation order differs between engines);
+- spatial queries derive deterministic lat/lon from integer columns with
+  pure integer/double arithmetic (identical IEEE ops in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import cells, geo, text
+from .operators.spatial_join import spatial_join
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# deterministic geotags for `events` — identical arithmetic in Spark & SQL
+LAT_SQL = "(CAST((user_id * 37) % 1600 AS DOUBLE) / 10.0 - 80.0 + CAST(event_id % 97 AS DOUBLE) / 1000.0)"
+LON_SQL = "(CAST((event_id * 73) % 3600 AS DOUBLE) / 10.0 - 180.0 + CAST(user_id % 89 AS DOUBLE) / 1000.0)"
+
+
+def geotagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("lat", F.expr(LAT_SQL))
+        .withColumn("lon", F.expr(LON_SQL))
+    )
+
+
+GEO_EVENTS_SQL = f"(SELECT *, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM events)"
+
+# rectangles for the oracle-checkable PIP query (half-open [x0,x1)×[y0,y1)
+# per the ray-cast kernel's tie-break rule)
+RECTS = [
+    ("R1", -20.0, 10.0, -10.0, 30.0),  # (id, lon0, lat0, lon1, lat1)
+    ("R2", 40.0, -35.0, 95.0, 10.0),
+    ("R3", -170.0, -60.0, -120.0, -20.0),
+]
+RECT_POLYGONS = [
+    {"poly_id": pid, "rings": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1]]]}
+    for pid, x0, y0, x1, y1 in RECTS
+]
+RECTS_VALUES_SQL = ", ".join(f"('{p}', {x0}, {y0}, {x1}, {y1})" for p, x0, y0, x1, y1 in RECTS)
+
+KNN_QUERIES = [("Q1", 10.0, 20.0), ("Q2", -45.0, 170.0), ("Q3", 60.0, -100.0), ("Q4", 0.0, 0.0), ("Q5", -78.0, 11.0)]
+KNN_VALUES_SQL = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in KNN_QUERIES)
+
+# SQL twin of render_html over the documents table (builds html in SQL so
+# DuckDB can independently re-derive the extracted text + digest)
+DOC_HTML_SQL = (
+    "('<html><head><title>doc ' || CAST(doc_id AS STRING) || '</title></head>"
+    "<body><h1>D' || CAST(doc_id AS STRING) || '</h1><p>' || text || '</p>"
+    "<script>var x=1;</script></body></html>')"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns (callable, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped agg with decimal-exact sums (§2.4)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order,
+       ROUND(AVG(l_discount), 6) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_select_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 select_vars (reference src/YAXTrees.jl:1082-1126): projection."""
+    from .operators.select import select_vars
+
+    return select_vars(load(spark, sf_dir, "part"), ["p_partkey", "p_name", "p_retailprice"]).orderBy(
+        "p_partkey"
+    )
+
+
+Q_SELECT_VARS_SQL = "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey"
+
+
+def q_where_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 `where(cond, v1, v2)` (reference src/YAXTrees.jl:794-804) with the
+    missing-aware coalesce(cond, false) overload."""
+    from .operators.select import where_mask
+
+    li = load(spark, sf_dir, "lineitem")
+    masked = where_mask(li, F.col("l_discount") > 0.05, F.col("l_extendedprice"), F.lit(0.0), "masked_price")
+    return (
+        masked.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("masked_price").cast("decimal(18,2)")).cast("double").alias("sum_masked"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_WHERE_MASK_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(CASE WHEN COALESCE(l_discount > 0.05, FALSE) THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_masked,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 lat/lon bounding-box subsetting (reference
+    test/test_yaxtree.jl:299-302) over geotagged events."""
+    ev = geotagged_events(spark, sf_dir)
+    return (
+        ev.filter((F.col("lat").between(20.0, 80.0)) & (F.col("lon").between(0.0, 180.0)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+Q_BBOX_SQL = f"""
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM {GEO_EVENTS_SQL} g
+WHERE lat BETWEEN 20.0 AND 80.0 AND lon BETWEEN 0.0 AND 180.0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ EQC cell indexing at res 8 — pure Catalyst arithmetic (no UDF)."""
+    ev = geotagged_events(spark, sf_dir)
+    return (
+        ev.withColumn("cell_id", cells.latlng_to_cell_expr("lat", "lon", 8))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= 2)
+        .orderBy("cell_id")
+    )
+
+
+Q_CELL_INDEX_SQL = f"""
+SELECT {cells.latlng_to_cell_sql('lat', 'lon', 8)} AS cell_id, COUNT(*) AS n_events
+FROM {GEO_EVENTS_SQL} g
+GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY cell_id
+"""
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ parent rollup res 8 → res 5 (hypertable-rollup shape)."""
+    ev = geotagged_events(spark, sf_dir)
+    return (
+        ev.withColumn("cell8", cells.latlng_to_cell_expr("lat", "lon", 8))
+        .withColumn("cell5", cells.cell_parent_expr(F.col("cell8"), 8, 5))
+        .groupBy("cell5")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("cell8").alias("n_child_cells"))
+        .orderBy("cell5")
+    )
+
+
+Q_CELL_ROLLUP_SQL = f"""
+WITH g AS (SELECT {cells.latlng_to_cell_sql('lat', 'lon', 8)} AS cell8
+           FROM {GEO_EVENTS_SQL} e)
+SELECT {cells.cell_parent_sql('cell8', 8, 5)} AS cell5,
+       COUNT(*) AS n, COUNT(DISTINCT cell8) AS n_child_cells
+FROM g GROUP BY 1 ORDER BY cell5
+"""
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 broadcast join: small dims broadcast (reference's ADF small-side
+    lookups, src/EOTriggering.jl:156-168)."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q_BROADCAST_JOIN_SQL = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_sortmerge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 shape: large-large equi-join (orders × lineitem) — sort-merge."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_SORTMERGE_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key dedup (pages per url, SURVEY.md §2.5) on events."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+Q_WINDOW_DEDUP_SQL = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ J4 baseline: exact kNN (k=5) by haversine, window top-k."""
+    ev = geotagged_events(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(q, la, lo) for q, la, lo in KNN_QUERIES], "query_id string, qlat double, qlon double"
+    )
+    joined = ev.crossJoin(F.broadcast(qdf)).withColumn(
+        "dist_m",
+        F.round(geo.haversine_m_expr(F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon")), 3),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_m"), F.asc("event_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "event_id", "rank", "dist_m")
+        .orderBy("query_id", "rank")
+    )
+
+
+Q_KNN_SQL = f"""
+WITH q(query_id, qlat, qlon) AS (VALUES {KNN_VALUES_SQL}),
+c AS (
+  SELECT q.query_id, g.event_id,
+         ROUND({geo.haversine_m_sql('g.lat', 'g.lon', 'q.qlat', 'q.qlon')}, 3) AS dist_m
+  FROM {GEO_EVENTS_SQL} g CROSS JOIN q
+)
+SELECT query_id, event_id, rank, dist_m FROM (
+  SELECT query_id, event_id, dist_m,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist_m ASC, event_id ASC) AS rank
+  FROM c) t
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_spatial_join_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ J1+J2+J3: the real spatial-join operator (cover + PIP refinement)
+    against rectangles, so the oracle can verify with interval predicates
+    (half-open per the ray-cast rule)."""
+    ev = geotagged_events(spark, sf_dir)
+    out = spatial_join(ev, RECT_POLYGONS, res=7, keep_cols=["event_id"], strategy="broadcast")
+    return out.select("event_id", "poly_id").orderBy("event_id", "poly_id")
+
+
+Q_SPATIAL_RECT_SQL = f"""
+WITH r(poly_id, lon0, lat0, lon1, lat1) AS (VALUES {RECTS_VALUES_SQL})
+SELECT g.event_id, r.poly_id
+FROM {GEO_EVENTS_SQL} g JOIN r
+  ON g.lon >= r.lon0 AND g.lon < r.lon1 AND g.lat >= r.lat0 AND g.lat < r.lat1
+ORDER BY event_id, poly_id
+"""
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 resume shape: anti-join pending work against completed lineage."""
+    li = load(spark, sf_dir, "lineitem")
+    completed = li.filter(F.col("l_orderkey") % 10 < 3).select("l_orderkey").distinct()
+    return (
+        li.join(completed, "l_orderkey", "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_pending"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q_ANTI_JOIN_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_pending
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 10 < 3)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join shape (§2.7): orders having any high-discount line."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.09)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_SEMI_JOIN_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_range_join_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 time-window selection (payload start/stop_time, reference
+    test/resources/payload.toml:19-20)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").between(F.lit("2024-01-02 00:00:00"), F.lit("2024-01-05 00:00:00")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .orderBy("event_type")
+    )
+
+
+Q_RANGE_TIME_SQL = """
+SELECT event_type, COUNT(*) AS n, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-01-05 00:00:00'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/2.6 window top-k: top-3 orders per priority by totalprice."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+Q_TOPK_SQL = """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) t
+WHERE rank <= 3 ORDER BY o_orderpriority, rank
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ exact dedup by content hash over documents (training-data op)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_md5", F.md5(F.col("text")))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY keep_doc_id
+"""
+
+
+def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ token counting + quality scoring per lang (portable exprs)."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.withColumn("tokens", text.token_count_expr(F.col("text"))).withColumn(
+        "quality", text.quality_score_expr(F.col("text"))
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("sum_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_TOKEN_QUALITY_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM({text.token_count_sql('text')}) AS BIGINT) AS sum_tokens,
+       ROUND(AVG({text.quality_score_sql('text')}), 4) AS avg_quality
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ language-ID heuristic: argmax of marker-hit scores."""
+    d = load(spark, sf_dir, "documents")
+    scores = [text.lang_score_expr(F.col("text"), lg).alias(f"s_{lg}") for lg in text.LANG_MARKERS]
+    scored = d.select("doc_id", *scores)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in text.LANG_MARKERS])
+    # first language (in fixed order) achieving the max score
+    expr = F.lit("unk")
+    for lg in reversed(list(text.LANG_MARKERS)):
+        expr = F.when((F.col(f"s_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return (
+        scored.withColumn("pred_lang", expr)
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n       ".join(f"{text.lang_score_sql('text', lg)} AS s_{lg}" for lg in text.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"s_{lg}" for lg in text.LANG_MARKERS) + ")"
+    case = "CASE "
+    for lg in text.LANG_MARKERS:
+        case += f"WHEN s_{lg} = {best} AND {best} > 0 THEN '{lg}' "
+    case += "ELSE 'unk' END"
+    return f"""
+WITH s AS (SELECT doc_id, {score_cols} FROM documents)
+SELECT {case} AS pred_lang, COUNT(*) AS n_docs
+FROM s GROUP BY 1 ORDER BY pred_lang
+"""
+
+
+def q_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ S13: Arrow-batched HTML extractor + sha256 digest; the oracle
+    re-derives the text with an independent SQL regexp pipeline —
+    byte-identical invariant (BASELINE.json input hint)."""
+    d = load(spark, sf_dir, "documents").withColumn("html", F.expr(DOC_HTML_SQL))
+    out = text.with_extracted_text(d, html_col="html", out_col="extracted")
+    return out.select("doc_id", "extracted_sha256").orderBy("doc_id")
+
+
+Q_EXTRACT_SQL = f"""
+SELECT doc_id, sha256({text.extract_text_sql(DOC_HTML_SQL)}) AS extracted_sha256
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ raster↔vector tile assignment: EQC res-6 cells as named tiles."""
+    ev = geotagged_events(spark, sf_dir)
+    cell = cells.latlng_to_cell_expr("lat", "lon", 6)
+    x = ((cell % F.lit(cells.R_MULT)) / F.lit(cells.X_MULT)).cast("long")
+    y = (cell % F.lit(cells.X_MULT)).cast("long")
+    tile = F.concat(F.lit("Z6_X"), x.cast("string"), F.lit("_Y"), y.cast("string"))
+    return (
+        ev.withColumn("tile_id", tile)
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .filter(F.col("n") >= 2)
+        .orderBy("tile_id")
+    )
+
+
+Q_TILE_SQL = f"""
+WITH g AS (SELECT value, {cells.latlng_to_cell_sql('lat', 'lon', 6)} AS cell FROM {GEO_EVENTS_SQL} e)
+SELECT 'Z6_X' || CAST(CAST(FLOOR((cell % {cells.R_MULT}) / {cells.X_MULT}) AS BIGINT) AS VARCHAR)
+       || '_Y' || CAST(CAST(cell % {cells.X_MULT} AS BIGINT) AS VARCHAR) AS tile_id,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM g GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY tile_id
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: suppliers in nations that have no customers (except)."""
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    return s.exceptAll(c).orderBy("nk")
+
+
+Q_SET_OPS_SQL = """
+SELECT nk FROM (
+  SELECT DISTINCT s_nationkey AS nk FROM supplier
+  EXCEPT
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+) t ORDER BY nk
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar functions: substring type-slice (reference name[5:12],
+    src/YAXTrees.jl:539-540), round/cast, coalesce fill-value rule."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.col("p_partkey"),
+            F.substring(F.col("p_name"), 5, 8).alias("name_slice"),
+            F.round(F.col("p_retailprice")).cast("long").alias("price_rounded"),
+            F.coalesce(F.col("p_size").cast("double"), F.lit(0.0)).alias("size_filled"),
+        )
+        .filter(F.col("p_partkey") % 7 == 0)
+        .orderBy("p_partkey")
+    )
+
+
+Q_SCALAR_SQL = """
+SELECT p_partkey,
+       substring(p_name, 5, 8) AS name_slice,
+       CAST(ROUND(p_retailprice) AS BIGINT) AS price_rounded,
+       COALESCE(CAST(p_size AS DOUBLE), 0.0) AS size_filled
+FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ brute-force cosine top-k over embeddings (ANN baseline) — JVM-side
+    higher-order functions (zip_with + aggregate), no UDF."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.filter(F.col("vec_id") >= 3).crossJoin(F.broadcast(qv))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sim = dot(F.col("embedding"), F.col("qe")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+Q_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+c AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3
+)
+SELECT query_id, vec_id, rank, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM c) t
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pricing_summary": (q_pricing_summary, Q_PRICING_SQL),
+    "select_vars": (q_select_vars, Q_SELECT_VARS_SQL),
+    "where_mask": (q_where_mask, Q_WHERE_MASK_SQL),
+    "bbox_filter": (q_bbox_filter, Q_BBOX_SQL),
+    "cell_index": (q_cell_index, Q_CELL_INDEX_SQL),
+    "cell_rollup": (q_cell_rollup, Q_CELL_ROLLUP_SQL),
+    "broadcast_join": (q_broadcast_join, Q_BROADCAST_JOIN_SQL),
+    "sortmerge_join": (q_sortmerge_join, Q_SORTMERGE_JOIN_SQL),
+    "window_dedup": (q_window_dedup, Q_WINDOW_DEDUP_SQL),
+    "knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
+    "spatial_join_rect": (q_spatial_join_rect, Q_SPATIAL_RECT_SQL),
+    "anti_join_resume": (q_anti_join_resume, Q_ANTI_JOIN_SQL),
+    "semi_join": (q_semi_join, Q_SEMI_JOIN_SQL),
+    "range_join_time": (q_range_join_time, Q_RANGE_TIME_SQL),
+    "topk_window": (q_topk_window, Q_TOPK_SQL),
+    "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "token_quality": (q_token_quality, Q_TOKEN_QUALITY_SQL),
+    "lang_id": (q_lang_id, _lang_id_sql()),
+    "extract_digest": (q_extract_digest, Q_EXTRACT_SQL),
+    "tile_assign": (q_tile_assign, Q_TILE_SQL),
+    "set_ops": (q_set_ops, Q_SET_OPS_SQL),
+    "scalar_funcs": (q_scalar_funcs, Q_SCALAR_SQL),
+    "cosine_topk": (q_cosine_topk, Q_COSINE_SQL),
+}

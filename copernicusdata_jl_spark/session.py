@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]``; the same configs are what we'd submit to a
+1000-executor cluster via ``spark-submit --py-files`` (the reference's
+``parallel_context`` knob, reference test/resources/payload.toml:56-59, is
+replaced by Spark's own parallelism config).
+
+Scale rationale (100 TB design point):
+- AQE on: runtime coalescing + skew-join splitting for the cell join.
+- shuffle partitions sized to cores locally; on a real cluster this is
+  ``max(2*total_cores, input_bytes / 128MB)`` — AQE coalesces down.
+- Arrow enabled: every row-level kernel (PIP, extractor, interp) is an
+  Arrow-batched pandas UDF, never per-row Python.
+- UTC session timezone: deterministic golden outputs and DuckDB parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "copernicusdata_jl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # deterministic goldens: never silently truncate/round differently
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # small local driver; on a cluster this comes from spark-submit
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

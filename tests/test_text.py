@@ -1,0 +1,78 @@
+"""Extractor invariant: byte-identical text per url, two independent
+derivations (expected_text fixture vs extractor over rendered HTML), stable
+across partitions/parallelism (BASELINE.json per-row invariant)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from copernicusdata_jl_spark import fixtures
+from copernicusdata_jl_spark.functions import text
+
+
+def test_extractor_matches_expected_text():
+    for i in range(200):
+        assert text.extract_text_py(text.render_html(i)) == text.expected_text(i)
+
+
+def test_extractor_batch_matches_py():
+    htmls = pd.Series([text.render_html(i) for i in range(100)])
+    got = text.extract_text_batch(htmls)
+    for i in range(100):
+        assert got.iloc[i] == text.extract_text_py(htmls.iloc[i])
+
+
+def test_extractor_handles_entities_and_nested():
+    h = "<html><body><p>a &amp; b &lt;tag&gt; &quot;q&quot;</p><script>if(1<2){x}</script></body></html>"
+    assert text.extract_text_py(h) == 'a & b <tag> "q"'
+
+
+def test_extractor_sql_twin_parity():
+    """DuckDB regexp pipeline must reproduce the Python extractor byte-for-
+    byte on the synthetic corpus — the independent oracle of the invariant."""
+    htmls = [text.render_html(i) for i in range(150)]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"html": htmls}))
+    sql = f"SELECT {text.extract_text_sql('html')} AS txt FROM t"
+    got = [r[0] for r in con.execute(sql).fetchall()]
+    want = [text.extract_text_py(h) for h in htmls]
+    assert got == want
+
+
+def test_spark_extraction_deterministic_across_parallelism(spark):
+    pdf = fixtures.pages_pdf(300)
+    digests = {}
+    for parts in (1, 7):
+        df = spark.createDataFrame(pdf[["url", "warc_ts", "html"]]).repartition(parts)
+        out = (
+            text.with_extracted_text(df)
+            .select("url", "warc_ts", "text_sha256")
+            .toPandas()
+            .sort_values(["url", "warc_ts"])
+            .reset_index(drop=True)
+        )
+        digests[parts] = out
+    pd.testing.assert_frame_equal(digests[1], digests[7])
+    # and equals the fixture's golden text column
+    golden = pdf[["url", "warc_ts", "text"]].copy()
+    import hashlib
+
+    golden["want"] = golden["text"].map(lambda t: hashlib.sha256(t.encode()).hexdigest())
+    merged = digests[1].merge(golden, on=["url", "warc_ts"])
+    assert (merged["text_sha256"] == merged["want"]).all()
+
+
+def test_winnow_fingerprints_detect_near_dupes():
+    a = text.expected_text(1)
+    b = a.replace("granule", "granule")  # identical
+    c = a + " extra tail words appended here"
+    d = text.expected_text(99)
+    fa = set(text.winnow_fingerprints(a))
+    fc = set(text.winnow_fingerprints(c))
+    fd = set(text.winnow_fingerprints(d))
+    assert fa == set(text.winnow_fingerprints(b))
+    jac_ac = len(fa & fc) / len(fa | fc)
+    jac_ad = len(fa & fd) / max(1, len(fa | fd))
+    assert jac_ac > 0.5 > jac_ad
