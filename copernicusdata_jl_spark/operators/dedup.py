@@ -1,0 +1,348 @@
+"""Deduplication & similarity operators for the training-data pipeline:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup, LSH ANN.
+
+All shingling/hashing is expressed as Catalyst column expressions (JVM-side,
+inside whole-stage codegen) — no Python in the hot path. Each kernel has an
+identical-arithmetic SQL twin so DuckDB can independently re-derive results
+(the driver's correctness gate).
+
+Scale design (100 TB):
+- MinHash signatures are 8 longs/doc — a ~64-byte sidecar per document; the
+  LSH band self-join shuffles only (doc_id, band, key), never text.
+- Band buckets are the classic S-curve knob: 4 bands × 2 rows ≈ catches
+  J ≥ 0.8 with high probability; exact-Jaccard verification joins shingle
+  arrays back only for candidate pairs (O(candidates), not O(n²)).
+- Hot buckets (boilerplate pages) are bounded by a per-bucket size cap
+  before pairing (`max_bucket` — drop degenerate buckets like an empty-text
+  bucket; at 10^12 docs an uncapped boilerplate bucket is a quadratic bomb).
+- The portable 56-bit hash (md5-prefix) exists for cross-engine parity;
+  the fast path swaps in xxhash64 (JVM intrinsic) via ``fast=True`` —
+  same structure, no md5 cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# portable hashing — identical values in Spark and DuckDB
+# ---------------------------------------------------------------------------
+
+
+def h56_expr(col: Column, salt: str, fast: bool = False) -> Column:
+    """56-bit salted hash. Portable flavor: first 14 hex digits of
+    md5(salt||s) — reproducible in any SQL engine. Fast flavor: xxhash64
+    (JVM intrinsic, ~20× cheaper; not portable to DuckDB)."""
+    if fast:
+        return F.xxhash64(F.lit(salt), col)
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 14), 16, 10).cast("long")
+
+
+def h56_sql(expr: str, salt: str) -> str:
+    return f"CAST(('0x' || substr(md5('{salt}' || {expr}), 1, 14)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# shingling — word n-grams as JVM array expressions
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams_expr(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (single-space tokenized).
+    Whole-stage-codegen friendly: split + sequence + transform, no UDF."""
+    toks = F.split(text, " ")
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(1), sz - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_ngrams_sql(text_expr: str, n: int = 3) -> str:
+    toks = f"string_split({text_expr}, ' ')"
+    gram = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), i -> {gram})) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+    num_hashes: int = 8,
+    fast: bool = False,
+) -> DataFrame:
+    """(id, m0..m{H-1}) — min of salted hash per shingle set. One explode +
+    one partial-aggregated groupBy (map-side combine makes the shuffle carry
+    only H longs per doc)."""
+    ex = docs.select(id_col, F.explode(shingle_col).alias("_g"))
+    return ex.groupBy(id_col).agg(
+        *[F.min(h56_expr(F.col("_g"), f"s{j}", fast=fast)).alias(f"m{j}") for j in range(num_hashes)]
+    )
+
+
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 2) -> DataFrame:
+    """(id, band, key): signature chopped into ``bands`` keys of ``rows``
+    hashes each — the LSH bucketing relation."""
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(id_col, F.explode(F.array(*structs)).alias("_bk")).select(
+        id_col, F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key")
+    )
+
+
+def candidate_pairs(
+    bands_df: DataFrame, id_col: str = "doc_id", max_bucket: int | None = 64
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket. ``max_bucket``
+    drops degenerate mega-buckets (boilerplate) before the quadratic pair
+    expansion — the skew guard at web scale."""
+    b = bands_df
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "key")
+        b = b.withColumn("_n", F.count(F.lit(1)).over(w)).filter(F.col("_n") <= max_bucket).drop("_n")
+    a = b.alias("a")
+    c = b.alias("b")
+    return (
+        a.join(c, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id", shingle_col: str = "sh"
+) -> DataFrame:
+    """Exact Jaccard on shingle arrays for candidate pairs → (id_a, id_b,
+    jaccard). Joins only candidates back to shingles."""
+    x = docs.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("_sa"))
+    y = docs.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("_sb"))
+    return (
+        pairs.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    fast: bool = True,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → (id_a, id_b, jaccard ≥ threshold)."""
+    rows = num_hashes // bands
+    docs = df.select(id_col, word_ngrams_expr(F.col(text_col), ngram).alias("sh"))
+    sig = minhash_signatures(docs, id_col, "sh", num_hashes, fast=fast)
+    cand = candidate_pairs(lsh_bands(sig, id_col, bands, rows), id_col, max_bucket=max_bucket)
+    return jaccard_verify(cand, docs, id_col, "sh").filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_expr_agg(token_hash: Column, bits: int = 16) -> list[Column]:
+    """Per-bit vote aggregates for a groupBy over exploded tokens."""
+    return [
+        F.sum(
+            F.when(F.shiftright(token_hash, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+
+
+def simhash_value_expr(bits: int = 16) -> Column:
+    """Combine per-bit votes (columns _v0.._v{bits-1}) into the simhash."""
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    fast: bool = True,
+) -> DataFrame:
+    """(id, simhash) — classic tf-weighted SimHash: every token occurrence
+    votes ±1 per bit (Charikar 2002), so near-identical word histograms →
+    near-identical fingerprints. One explode + one groupBy; votes
+    partial-aggregate map-side."""
+    toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("_t"))
+    h = h56_expr(F.col("_t"), "sim", fast=fast)
+    votes = toks.groupBy(id_col).agg(*simhash_expr_agg(h, bits))
+    return votes.select(id_col, simhash_value_expr(bits).alias("simhash"))
+
+
+def simhash_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 2,
+    fast: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the ``bits``-bit simhash into
+    ``bits/band_bits`` chunks (a pair within Hamming ≤ chunks-1 shares ≥1
+    chunk), join on chunk, verify exact Hamming ≤ ``max_hamming``."""
+    sh = simhash(df, id_col, text_col, bits, fast=fast)
+    chunks = bits // band_bits
+    mask = (1 << band_bits) - 1
+    structs = [
+        F.struct(
+            F.lit(c).alias("band"),
+            F.shiftright(F.col("simhash"), c * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for c in range(chunks)
+    ]
+    banded = sh.select(id_col, "simhash", F.explode(F.array(*structs)).alias("_bk")).select(
+        id_col, "simhash", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding sign-LSH (near-dup + ANN bucketing)
+# ---------------------------------------------------------------------------
+
+
+def projection_weights(dim: int, num_proj: int) -> list[list[int]]:
+    """Deterministic integer projection vectors (no RNG — reproducible in
+    SQL literals): w[j][i] = ((i*31 + j*17 + 13) % 7) - 3."""
+    return [[((i * 31 + j * 17 + 13) % 7) - 3 for i in range(dim)] for j in range(num_proj)]
+
+
+def dot_expr(vec: Column, weights: list[int]) -> Column:
+    """vec · w as a JVM fold (zip_with + aggregate), elements cast double."""
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    return F.aggregate(
+        F.zip_with(vec, warr, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sign_bucket_expr(vec: Column, weights: list[list[int]]) -> Column:
+    """Bit-string bucket id from projection signs (long)."""
+    out = F.lit(0).cast("long")
+    for j, w in enumerate(weights):
+        out = out + F.when(dot_expr(vec, w) > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_proj: int = 8,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Near-duplicate vector pairs: sign-LSH bucket join → exact cosine ≥
+    threshold. The bucket join shuffles (id, bucket) only; vectors are
+    re-joined for the exact check on candidates."""
+    w = projection_weights(dim, num_proj)
+    b = emb.select(id_col, vec_col, sign_bucket_expr(F.col(vec_col), w).alias("bucket"))
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    dim: int = 64,
+    num_proj: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates = same sign-LSH bucket as the query
+    (queries broadcast), ranked by exact cosine. The scale path vs
+    brute-force: each query touches ~n/2^num_proj candidates."""
+    w = projection_weights(dim, num_proj)
+    base = emb.select(id_col, vec_col, sign_bucket_expr(F.col(vec_col), w).alias("bucket"))
+    q = queries.select(
+        query_id_col, query_vec_col, sign_bucket_expr(F.col(query_vec_col), w).alias("bucket")
+    )
+    cand = base.join(F.broadcast(q), "bucket")
+    sim = F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6)
+    win = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cos_sim")
+    )

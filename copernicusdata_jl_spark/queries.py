@@ -637,3 +637,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scalar_funcs": (q_scalar_funcs, Q_SCALAR_SQL),
     "cosine_topk": (q_cosine_topk, Q_COSINE_SQL),
 }
+
+# extended suites (dedup/similarity/kNN/lineage) — merged registries
+from .queries_ext import EXT_REGISTRY as _EXT
+
+REGISTRY.update(_EXT)

@@ -1,0 +1,89 @@
+"""Dedup/similarity suite: planted near-duplicates must be found, distinct
+documents must not be (MinHash-LSH, SimHash, embedding sign-LSH, LSH ANN).
+
+Mirrors the reference's operator-unit-test-with-hand-built-fixtures shape
+(reference test/test_yaxtree.jl) for the training-data-pipeline operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from copernicusdata_jl_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the river flows past "
+    "the old stone bridge under a pale winter sky and the town sleeps"
+)
+NEAR = BASE.replace("winter", "summer")  # one-token edit => high jaccard
+OTHER = (
+    "completely different content about spark shuffles partitions and the "
+    "catalyst optimizer rewriting logical plans into physical stages"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, NEAR), (2, OTHER), (3, BASE), (4, OTHER + " with an extra tail clause appended")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_neardups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_dedup(docs, threshold=0.5, fast=True).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.7  # one-token edit
+    assert all(not (a in (0, 1, 3) and b in (2, 4)) for a, b in pairs)
+
+
+def test_minhash_portable_equals_fast_structure(docs):
+    slow = D.minhash_dedup(docs, threshold=0.5, fast=False).select("id_a", "id_b").collect()
+    fast = D.minhash_dedup(docs, threshold=0.5, fast=True).select("id_a", "id_b").collect()
+    assert {tuple(r) for r in slow} == {tuple(r) for r in fast}
+
+
+def test_simhash_deterministic_and_discriminative(docs):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs, bits=32, fast=True).collect()}
+    assert sh[0] == sh[3]  # identical text -> identical fingerprint
+    ham01 = bin(sh[0] ^ sh[1]).count("1")
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_simhash_neardup_pairs(docs):
+    pairs = {(r.id_a, r.id_b) for r in D.simhash_neardup(docs, bits=32, max_hamming=3).collect()}
+    assert (0, 3) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_embedding_neardup_and_ann(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    base[5] = base[3] + rng.normal(scale=0.01, size=16).astype(np.float32)  # planted near-dup
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    nd = D.embedding_neardup(emb, dim=16, num_proj=6, threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in nd} == {(3, 5)}
+
+    q = spark.createDataFrame([(100, [float(x) for x in base[3]])], ["query_id", "qe"])
+    ann = D.ann_lsh_topk(emb, q, k=3, dim=16, num_proj=3, query_id_col="query_id", query_vec_col="qe").collect()
+    got = [r.vec_id for r in ann]
+    assert got[0] in (3, 5) and got[1] in (3, 5)  # true nearest in same sign bucket
+
+
+def test_word_ngrams_short_doc(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, "a b c"), (2, "")], ["doc_id", "text"])
+    got = {r.doc_id: r.sh for r in df.select("doc_id", D.word_ngrams_expr(F.col("text")).alias("sh")).collect()}
+    assert got[0] == [] and got[1] == ["a b c"] and got[2] == []
+
+
+def test_candidate_pairs_bucket_cap(spark):
+    # 10 docs all sharing one band bucket are dropped by max_bucket=5
+    bands = spark.createDataFrame([(i, 0, "hot") for i in range(10)], ["doc_id", "band", "key"])
+    assert D.candidate_pairs(bands, max_bucket=5).count() == 0
+    assert D.candidate_pairs(bands, max_bucket=None).count() == 45

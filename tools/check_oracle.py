@@ -8,8 +8,11 @@ Usage: python tools/check_oracle.py [names...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
