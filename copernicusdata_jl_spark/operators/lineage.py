@@ -1,0 +1,93 @@
+"""☆ Lineage + idempotent resume (SURVEY.md §2.10 O8, §2.3 J6).
+
+Mirrors the reference payload's ``breakpoints`` block (reference
+test/resources/payload.toml:5-9, parsed at src/EOTriggering.jl:11-16):
+every run emits per-work-unit lineage rows ``(bucket, cell_min, cell_max,
+row_count, checksum)`` to a checkpoint table; a re-run anti-joins pending
+work against completed lineage and recomputes only what's missing.
+
+The checksum is an order-insensitive BIT_XOR of row hashes — stable under
+any partitioning/shuffle order, so resume verification works no matter how
+AQE re-plans the job. Checkpoint storage here is a parquet directory
+(append-only, one file set per run_id); on a real cluster this is an
+Iceberg table so commits are atomic snapshots — the protocol (columns,
+bucket key, anti-join) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup as _d
+
+LINEAGE_COLS = ["bucket", "cell_min", "cell_max", "row_count", "checksum"]
+
+
+def lineage_rows(
+    df: DataFrame,
+    bucket_col: str = "bucket",
+    cell_col: str = "cell_id",
+    hash_cols: list[str] | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Aggregate per-bucket lineage: cell range + row count + order-
+    insensitive checksum. Partial-aggregates map-side; the shuffle carries
+    one row per bucket."""
+    hash_cols = hash_cols or [c for c in df.columns if c != bucket_col]
+    if portable:
+        h = _d.h56_expr(F.concat_ws("|", *[F.col(c).cast("string") for c in hash_cols]), "lin")
+    else:
+        h = F.xxhash64(*hash_cols)
+    return (
+        df.withColumn("_h", h)
+        .groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(
+            F.min(cell_col).alias("cell_min"),
+            F.max(cell_col).alias("cell_max"),
+            F.count(F.lit(1)).alias("row_count"),
+            F.expr("bit_xor(_h)").alias("checksum"),
+        )
+    )
+
+
+def write_checkpoint(lineage: DataFrame, path: str, run_id: str) -> None:
+    """Append this run's lineage snapshot (run_id column added)."""
+    lineage.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(path)
+
+
+def read_checkpoint(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def pending_buckets(work: DataFrame, checkpoint: DataFrame | None, bucket_col: str = "bucket") -> DataFrame:
+    """J6 resume: anti-join work units against completed lineage buckets."""
+    if checkpoint is None:
+        return work
+    done = checkpoint.select(F.col("bucket").alias(bucket_col)).distinct()
+    return work.join(done, bucket_col, "left_anti")
+
+
+def run_with_resume(
+    df: DataFrame,
+    bucket_col: str,
+    checkpoint_path: str,
+    run_id: str,
+    cell_col: str = "cell_id",
+) -> tuple[DataFrame, int]:
+    """Compute lineage for buckets not yet checkpointed, append them, and
+    return (lineage_df_written, n_buckets_skipped). Idempotent: a second
+    call with the same checkpoint writes nothing."""
+    spark = df.sparkSession
+    ckpt = read_checkpoint(spark, checkpoint_path)
+    total = df.select(bucket_col).distinct()
+    todo = pending_buckets(total, ckpt, bucket_col)
+    n_skip = total.count() - todo.count()
+    fresh = df.join(todo, bucket_col, "left_semi")
+    lin = lineage_rows(fresh, bucket_col, cell_col)
+    if lin.limit(1).count() > 0:
+        write_checkpoint(lin, checkpoint_path, run_id)
+    return lin, n_skip

@@ -85,7 +85,7 @@ _SIMBITS = 32
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (bitwise token-hash majority)."""
+    """32-bit SimHash per document (tf-weighted token-hash majority)."""
     return D.simhash(load(spark, sf_dir, "documents"), "doc_id", "text", _SIMBITS, fast=False).orderBy(
         "doc_id"
     )
@@ -107,7 +107,7 @@ SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding near-dup: pairs within Hamming ≤ 2 of the 16-bit
+    """SimHash banding near-dup: pairs within Hamming ≤ 2 of the 32-bit
     fingerprint, candidates via 4-bit chunk buckets."""
     return D.simhash_neardup(
         load(spark, sf_dir, "documents"), "doc_id", "text", _SIMBITS, 4, 2, fast=False
@@ -278,3 +278,252 @@ EXT_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "embed_neardup": (q_embed_neardup, _embed_neardup_sql()),
     "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
 }
+
+
+# ---------------------------------------------------------------------------
+# ☆ J4: kNN via k-ring expansion
+# ---------------------------------------------------------------------------
+
+# geotag derivation — identical literals as queries.py (kept in sync; pure
+# integer/double arithmetic so Spark and DuckDB produce identical doubles)
+LAT_SQL = "(CAST((user_id * 37) % 1600 AS DOUBLE) / 10.0 - 80.0 + CAST(event_id % 97 AS DOUBLE) / 1000.0)"
+LON_SQL = "(CAST((event_id * 73) % 3600 AS DOUBLE) / 10.0 - 180.0 + CAST(user_id % 89 AS DOUBLE) / 1000.0)"
+GEO_EVENTS_SQL = f"(SELECT *, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM events)"
+
+
+def _geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("lat", F.expr(LAT_SQL))
+        .withColumn("lon", F.expr(LON_SQL))
+    )
+
+
+KNN_QUERIES = [("Q1", 10.0, 20.0), ("Q2", -45.0, 170.0), ("Q3", 60.0, -100.0), ("Q4", 0.0, 0.0), ("Q5", -78.0, 11.0)]
+_KNN_RES, _KNN_RING, _KNN_K = 5, 2, 5
+
+
+def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ J4: kNN via k-ring candidate cells (res 5, ring 2) + exact
+    haversine ranking — the scale path next to knn_bruteforce."""
+    from .operators.knn import knn_kring
+
+    qdf = spark.createDataFrame(
+        [(q, la, lo) for q, la, lo in KNN_QUERIES], "query_id string, qlat double, qlon double"
+    )
+    return knn_kring(
+        _geo_events(spark, sf_dir), qdf, res=_KNN_RES, k_ring=_KNN_RING, k=_KNN_K
+    ).orderBy("query_id", "rank")
+
+
+def _knn_kring_sql() -> str:
+    from .functions import cells as C
+    from .functions.geo import haversine_m_sql
+
+    res, ring, k = _KNN_RES, _KNN_RING, _KNN_K
+    nx, ny = C.nx_ny(res)
+    vals = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in KNN_QUERIES)
+    deltas = ", ".join(str(d) for d in range(-ring, ring + 1))
+    return f"""
+WITH q(query_id, qlat, qlon) AS (VALUES {vals}),
+qc AS (
+  SELECT query_id, qlat, qlon,
+         CAST(GREATEST(LEAST(FLOOR((qlon + 180.0) / 360.0 * {nx}), {nx - 1}), 0) AS BIGINT) AS qx,
+         CAST(GREATEST(LEAST(FLOOR((qlat + 90.0) / 180.0 * {ny}), {ny - 1}), 0) AS BIGINT) AS qy
+  FROM q
+),
+ring AS (
+  SELECT query_id, qlat, qlon,
+         {res} * CAST({C.R_MULT} AS BIGINT)
+           + (((qx + dx.d) % {nx} + {nx}) % {nx}) * {C.X_MULT} + (qy + dy.d) AS cell_id
+  FROM qc
+  CROSS JOIN (SELECT unnest([{deltas}]) AS d) dx
+  CROSS JOIN (SELECT unnest([{deltas}]) AS d) dy
+  WHERE qy + dy.d BETWEEN 0 AND {ny - 1}
+),
+pts AS (
+  SELECT event_id, lat, lon, {C.latlng_to_cell_sql('lat', 'lon', res)} AS cell_id
+  FROM {GEO_EVENTS_SQL} g
+),
+c AS (
+  SELECT r.query_id, p.event_id,
+         ROUND({haversine_m_sql('p.lat', 'p.lon', 'r.qlat', 'r.qlon')}, 3) AS dist_m
+  FROM pts p JOIN ring r ON p.cell_id = r.cell_id
+)
+SELECT query_id, event_id, rank, dist_m FROM (
+  SELECT query_id, event_id, dist_m,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist_m ASC, event_id ASC) AS rank
+  FROM c) t
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# ☆ lineage rows (O8/J6 checkpoint protocol)
+# ---------------------------------------------------------------------------
+
+
+def q_lineage_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ per-bucket lineage (cell range, row count, order-insensitive
+    checksum) — the checkpoint-table row protocol. Portable-hash flavor so
+    DuckDB re-derives identical checksums."""
+    from .functions import cells as C
+    from .operators.lineage import lineage_rows
+
+    ev = _geo_events(spark, sf_dir).withColumn(
+        "cell_id", C.latlng_to_cell_expr("lat", "lon", 7)
+    ).withColumn("bucket", F.pmod(F.col("cell_id"), F.lit(32)))
+    return lineage_rows(ev, "bucket", "cell_id", hash_cols=["event_id"], portable=True).orderBy(
+        "bucket"
+    )
+
+
+def _lineage_sql() -> str:
+    from .functions import cells as C
+
+    h = D.h56_sql("CAST(event_id AS VARCHAR)", "lin")
+    return f"""
+WITH e AS (
+  SELECT event_id, {C.latlng_to_cell_sql('lat', 'lon', 7)} AS cell_id
+  FROM {GEO_EVENTS_SQL} g
+),
+b AS (SELECT event_id, cell_id, ((cell_id % 32) + 32) % 32 AS bucket FROM e)
+SELECT bucket, min(cell_id) AS cell_min, max(cell_id) AS cell_max,
+       count(*) AS row_count, bit_xor({h}) AS checksum
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# ☆ salted (skew-safe) aggregation — identical result to plain groupBy
+# ---------------------------------------------------------------------------
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ two-phase salted aggregation over skewed cells: the oracle is the
+    PLAIN group-by — asserting salting changes the plan, not the answer."""
+    from .functions import cells as C
+    from .operators.skew import salted_groupby
+
+    ev = _geo_events(spark, sf_dir).withColumn(
+        "cell_id", C.latlng_to_cell_expr("lat", "lon", 4)
+    )
+    out = salted_groupby(
+        ev,
+        ["cell_id"],
+        {
+            "n_events": ("count", "event_id"),
+            "sum_value": ("sum", F.round(F.col("value"), 3).cast("decimal(18,3)")),
+            "max_event": ("max", "event_id"),
+        },
+        salt_mod=8,
+        salt_cols=["event_id"],
+    )
+    return out.select(
+        "cell_id", "n_events", F.col("sum_value").cast("double").alias("sum_value"), "max_event"
+    ).orderBy("cell_id")
+
+
+def _salted_agg_sql() -> str:
+    from .functions import cells as C
+
+    return f"""
+SELECT {C.latlng_to_cell_sql('lat', 'lon', 4)} AS cell_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+       max(event_id) AS max_event
+FROM {GEO_EVENTS_SQL} g
+GROUP BY cell_id ORDER BY cell_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T7: linear interpolation along a dimension
+# ---------------------------------------------------------------------------
+
+_INTERP_AT = 1705276800.0  # 2024-01-15 00:00:00 UTC epoch
+
+
+def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 (reference src/interpolation.jl:10-24): per-user linear
+    interpolation of `value` at a target time over the ts axis."""
+    from .functions.interp import linear_interp_at
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("double").alias("x"),
+        F.round("value", 6).alias("y"),
+    )
+    return linear_interp_at(ev, ["user_id"], "x", "y", _INTERP_AT, out_col="value_interp").orderBy(
+        "user_id"
+    )
+
+
+def _linear_interp_sql() -> str:
+    at = _INTERP_AT
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS DOUBLE) AS x, round(value, 6) AS y FROM events
+),
+b0 AS (
+  SELECT e.user_id, e.x AS x0, min(e.y) AS y0
+  FROM e JOIN (SELECT user_id, max(x) AS x0 FROM e WHERE x <= {at} GROUP BY user_id) m
+    ON e.user_id = m.user_id AND e.x = m.x0
+  GROUP BY e.user_id, e.x
+),
+b1 AS (
+  SELECT e.user_id, e.x AS x1, min(e.y) AS y1
+  FROM e JOIN (SELECT user_id, min(x) AS x1 FROM e WHERE x >= {at} GROUP BY user_id) m
+    ON e.user_id = m.user_id AND e.x = m.x1
+  GROUP BY e.user_id, e.x
+)
+SELECT COALESCE(b0.user_id, b1.user_id) AS user_id,
+       round(CASE WHEN x1 = x0 THEN y0
+                  ELSE y0 + (y1 - y0) * (({at} - x0) / (x1 - x0)) END, 6) AS value_interp
+FROM b0 FULL OUTER JOIN b1 ON b0.user_id = b1.user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-time tumbling windows (streaming semantics, batch-checkable)
+# ---------------------------------------------------------------------------
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event_type — the batch twin of
+    the Structured Streaming aggregation (streaming/windowed.py runs the
+    same plan incrementally with a watermark)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.round(F.col("value"), 3).cast("decimal(18,3)")).cast("double"), 3).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_EVENT_WINDOWS_SQL = """
+SELECT date_trunc('day', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE), 3) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+EXT_REGISTRY.update(
+    {
+        "knn_kring": (q_knn_kring, _knn_kring_sql()),
+        "lineage_rows": (q_lineage_rows, _lineage_sql()),
+        "salted_agg": (q_salted_agg, _salted_agg_sql()),
+        "linear_interp": (q_linear_interp, _linear_interp_sql()),
+        "event_windows": (q_event_windows, _EVENT_WINDOWS_SQL),
+    }
+)

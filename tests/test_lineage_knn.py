@@ -1,0 +1,153 @@
+"""kNN k-ring, lineage/checkpoint resume idempotency, salted aggregation,
+and interpolation kernels (SURVEY.md §5 test plan items d/e)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from copernicusdata_jl_spark.functions import cells, interp
+from copernicusdata_jl_spark.operators import lineage as L
+from copernicusdata_jl_spark.operators.knn import knn_kring
+from copernicusdata_jl_spark.operators.skew import hot_keys, salted_groupby
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def test_knn_kring_matches_bruteforce_in_ring(spark):
+    # a dense cloud near (10, 20): k-ring kNN must equal brute-force kNN
+    rng = np.random.default_rng(3)
+    pts = [(i, 10.0 + rng.uniform(-1, 1), 20.0 + rng.uniform(-1, 1)) for i in range(300)]
+    pdf = spark.createDataFrame(pts, "event_id long, lat double, lon double")
+    q = spark.createDataFrame([("Q", 10.0, 20.0)], "query_id string, qlat double, qlon double")
+    got = [r.event_id for r in knn_kring(pdf, q, res=6, k_ring=2, k=7).orderBy("rank").collect()]
+
+    from copernicusdata_jl_spark.functions.geo import haversine_m
+
+    la = np.array([p[1] for p in pts])
+    lo = np.array([p[2] for p in pts])
+    d = haversine_m(la, lo, 10.0, 20.0)
+    want = list(np.argsort(d, kind="stable")[:7])
+    assert got == [pts[i][0] for i in want]
+
+
+def test_knn_kring_antimeridian(spark):
+    # points straddling ±180 must be candidates of a query at lon=179.9
+    pdf = spark.createDataFrame(
+        [(1, 0.0, 179.8), (2, 0.0, -179.99), (3, 0.0, 170.0)],
+        "event_id long, lat double, lon double",
+    )
+    q = spark.createDataFrame([("Q", 0.0, 179.95)], "query_id string, qlat double, qlon double")
+    got = [r.event_id for r in knn_kring(pdf, q, res=6, k_ring=1, k=2).orderBy("rank").collect()]
+    assert got == [2, 1]  # -179.9 is closer across the antimeridian
+
+
+# ---------------------------------------------------------------------------
+# lineage + resume
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def cellified(spark):
+    rows = [(i, -60.0 + (i * 7) % 120, -170.0 + (i * 13) % 340) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, lat double, lon double")
+    return df.withColumn("cell_id", cells.latlng_to_cell_expr("lat", "lon", 6)).withColumn(
+        "bucket", F.pmod("cell_id", F.lit(8))
+    )
+
+
+def test_lineage_checksum_order_insensitive(spark, cellified):
+    a = L.lineage_rows(cellified, "bucket", "cell_id", hash_cols=["event_id"])
+    b = L.lineage_rows(cellified.repartition(13).sortWithinPartitions("lat"), "bucket", "cell_id", hash_cols=["event_id"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_resume_idempotent(spark, cellified, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    lin1, skip1 = L.run_with_resume(cellified, "bucket", ckpt, "run1", "cell_id")
+    assert skip1 == 0 and lin1.count() == 8
+    # partial-failure simulation: second run over the same input skips all
+    lin2, skip2 = L.run_with_resume(cellified, "bucket", ckpt, "run2", "cell_id")
+    assert skip2 == 8 and lin2.count() == 0
+    # checkpoint table holds exactly one snapshot per bucket
+    ck = spark.read.parquet(ckpt)
+    assert ck.count() == 8 and ck.select("run_id").distinct().count() == 1
+
+
+def test_resume_after_partial_checkpoint(spark, cellified, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    half = cellified.filter(F.col("bucket") < 4)
+    L.run_with_resume(half, "bucket", ckpt, "run1", "cell_id")
+    lin2, skip2 = L.run_with_resume(cellified, "bucket", ckpt, "run2", "cell_id")
+    assert skip2 == 4  # completed buckets skipped
+    done = {r.bucket for r in lin2.select("bucket").collect()}
+    assert done == {4, 5, 6, 7}
+    # full checkpoint now covers all buckets; totals add up to input rows
+    ck = spark.read.parquet(ckpt)
+    assert ck.agg(F.sum("row_count")).first()[0] == 400
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_salted_groupby_equals_plain(spark):
+    rows = [(i % 3, i, float(i) / 7) for i in range(1000)]  # key 0 is hot
+    df = spark.createDataFrame(rows, "k long, event_id long, value double")
+    salted = salted_groupby(
+        df, ["k"], {"n": ("count", "event_id"), "mx": ("max", "event_id")}, salt_mod=8, salt_cols=["event_id"]
+    )
+    plain = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("mx"))
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_hot_keys_detects_skew(spark):
+    rows = [(0, i) for i in range(5000)] + [(j, j) for j in range(1, 20)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    hot = [r.k for r in hot_keys(df, ["k"], threshold=1000, sample=0.1).collect()]
+    assert hot == [0]
+
+
+# ---------------------------------------------------------------------------
+# interpolation
+# ---------------------------------------------------------------------------
+
+
+def test_linear_interp_exact_and_between(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("a", 10.0, 30.0), ("b", 5.0, 1.0), ("b", 15.0, 2.0), ("c", 99.0, 7.0)],
+        "g string, x double, y double",
+    )
+    got = {r.g: r.y_interp for r in interp.linear_interp_at(df, ["g"], "x", "y", 5.0).collect()}
+    assert got["a"] == 20.0  # midpoint lerp
+    assert got["b"] == 1.0  # exact sample
+    assert got["c"] is None  # out of range -> NULL (missing propagation)
+
+
+def test_linear_interp_reverse_order_irrelevant(spark):
+    # reference handles reverse-ordered axes (src/interpolation.jl:15-21);
+    # relational bracketing is order-free by construction
+    df = spark.createDataFrame([("a", 10.0, 30.0), ("a", 0.0, 10.0)], "g string, x double, y double")
+    got = interp.linear_interp_at(df, ["g"], "x", "y", 2.5).first()
+    assert got.y_interp == 15.0
+
+
+def test_resample_to_grid_matches_np_interp(spark):
+    xs = [0.0, 1.0, 4.0, 9.0]
+    ys = [0.0, 2.0, 8.0, 3.0]
+    df = spark.createDataFrame([("g", x, y) for x, y in zip(xs, ys)], "g string, x double, y double")
+    grid = [0.5, 2.0, 8.0]
+    got = (
+        interp.resample_to_grid(df, ["g"], "x", "y", grid)
+        .orderBy("x")
+        .select("y_interp")
+        .toPandas()["y_interp"]
+        .to_numpy()
+    )
+    want = np.interp(np.array(grid), np.array(xs), np.array(ys))
+    assert np.allclose(got, want)
