@@ -24,12 +24,21 @@ HEADLINE = [
     "cell_rollup",
     "spatial_join_rect",
     "knn_bruteforce",
+    "knn_kring",
     "tile_assign",
     "window_dedup",
     "dedup_exact",
+    "minhash_lsh",
+    "simhash",
     "token_quality",
     "extract_digest",
     "cosine_topk",
+    "ann_lsh",
+    "salted_agg",
+    "lineage_rows",
+    "event_windows",
+    "linear_interp",
+    "media_meta",
 ]
 
 
@@ -57,18 +66,30 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    # flagship docs/sec: full spatial-join pipeline rows per wall-second
-    t0 = time.perf_counter()
-    joined = REGISTRY["spatial_join_rect"][0](spark, sf_dir).count()
-    join_sec = time.perf_counter() - t0
+
+    # flagship throughput: the full north-rule pages pipeline (extract →
+    # dedup → cell index → cover join + PIP → tiles → lineage) over a
+    # deterministic distributed-generated pages table sized to the SF
+    import tempfile
+
+    from copernicusdata_jl_spark.flagship import build_pages, run_flagship
+
+    n_pages = max(20_000, int(1_000_000 * sf))
+    pages_path = os.path.join(tempfile.mkdtemp(prefix="bench_pages_"), "pages.parquet")
+    build_pages(spark, n_pages, int(cpus) * 2).write.parquet(pages_path)
+    fm = run_flagship(spark, pages_path)
+
     out = {
         "metric": "headline-queries-total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "docs_per_sec": round(n_docs / join_sec, 1),
-        "n_docs": n_docs,
+        "docs_per_sec": fm["docs_per_sec"],
+        "tiles_per_sec": fm["tiles_per_sec"],
+        "flagship_wall_sec": fm["wall_sec"],
+        "n_docs": int(fm["n_docs"]),
+        "n_events": n_docs,
     }
     print(json.dumps(out))
     spark.stop()

@@ -6,7 +6,7 @@ Architecture (Spark-first, NOT a port):
 
 - **Data model**: the reference's hierarchical chunked-array tree
   (``YAXTree``, reference src/YAXTrees.jl:29-36) becomes a namespace of
-  columnar DataFrames (:mod:`.datamodel`); per-pixel geolocation arrays
+  columnar DataFrames (:mod:`.sources.datatree`); per-pixel geolocation arrays
   (reference docs/src/examples.md:44-46) become plain ``lat``/``lon``
   columns feeding cell indexing.
 - **Cell index**: a deterministic equirectangular quadtree ("EQC grid",
@@ -17,11 +17,11 @@ Architecture (Spark-first, NOT a port):
   sort-merge equi-join → exact ray-cast point-in-polygon refinement as an
   Arrow-batched pandas UDF (:mod:`.operators.spatial_join`).
 - **Lineage/resume**: per-partition (cell range, row count, checksum)
-  checkpoint rows + anti-join resume (:mod:`.plans.lineage`), realizing the
+  checkpoint rows + anti-join resume (:mod:`.operators.lineage`), realizing the
   reference payload's declared ``breakpoints`` block
   (reference test/resources/payload.toml:5-9, src/EOTriggering.jl:11-16).
 - **Orchestration**: TOML payload → staged DataFrame pipeline
-  (:mod:`.orchestration.payload`), mirroring ``EOTriggering.run``
+  (:mod:`.plans.payload`), mirroring ``EOTriggering.run``
   (reference src/EOTriggering.jl:83-195).
 """
 

@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    # NOTE: a pre-loading worker daemon (import pandas/pyarrow before the
+    # daemon forks) was tried and REVERTED: pyarrow's background threads do
+    # not survive fork(), and the orphaned locks sent forked workers into a
+    # sys-time spin (measured: warm pandas-UDF stages 6× slower). Worker
+    # warm-up is handled by an un-timed warmup pass in the benchmarks
+    # instead (tools/scaling_bench.py).
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
