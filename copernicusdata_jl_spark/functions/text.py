@@ -220,3 +220,25 @@ def winnow_fingerprints(text: str, k: int = 8, w: int = 12) -> list[int]:
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def winnow_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda s: winnow_fingerprints(s if s is not None else ""))
+
+
+def render_html_rich(i: int) -> str:
+    """Rich deterministic page (~3 KB, Common-Crawl-ish weight): nav/footer
+    boilerplate, 40-59 paragraphs, inline style + trailing script. Used by
+    the flagship benchmark so extraction cost per row resembles real crawl
+    pages rather than fixture stubs."""
+    paras = "".join(f"<p>{_sentence(i, k)}</p>" for k in range(40 + i % 20))
+    return (
+        f"<html><head><title>doc {i}</title><meta charset=\"utf-8\"/>"
+        f"<style>p{{margin:0;padding:2px}} nav{{display:flex}}</style></head>"
+        f"<body><nav><a href=\"/\">home</a> | <a href=\"/about\">about</a></nav>"
+        f"<h1>Document {i}</h1>{paras}"
+        f"<footer>terms &amp; privacy {i % 100}</footer>"
+        f"<script>var x={i};track(x);</script></body></html>"
+    )
+
+
+def expected_text_rich(i: int) -> str:
+    """Independent golden derivation for render_html_rich."""
+    paras = " ".join(_sentence(i, k) for k in range(40 + i % 20))
+    return f"doc {i} home | about Document {i} {paras} terms & privacy {i % 100}"
