@@ -76,3 +76,11 @@ def test_winnow_fingerprints_detect_near_dupes():
     jac_ac = len(fa & fc) / len(fa | fc)
     jac_ad = len(fa & fd) / max(1, len(fa | fd))
     assert jac_ac > 0.5 > jac_ad
+
+
+def test_rich_extractor_matches_expected_text():
+    # rich (Common-Crawl-weight) pages: same byte-identical contract,
+    # independently derived golden (boilerplate nav/footer/entities)
+    for i in (0, 1, 7, 99, 1234, 54321):
+        assert text.extract_text_py(text.render_html_rich(i)) == text.expected_text_rich(i)
+    assert len(text.render_html_rich(123)) > 2000
