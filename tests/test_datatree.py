@@ -182,3 +182,29 @@ def test_payload_breakpoint_resume(spark, payload_dir):
     outs2 = P.run(str(payload_dir / "payload.toml"), spark)  # resumes step2
     assert os.path.getmtime(payload_dir / "bp_storage" / "step2" / "_properties.json") == mtime
     assert outs2["step2"].data.agg(F.sum("n")).first()[0] == 20
+
+
+# ---------------------------------------------------------------------------
+# S9: object-store config wiring (no live store in the sandbox)
+# ---------------------------------------------------------------------------
+
+
+def test_s3_config_wiring(spark, tmp_path):
+    from copernicusdata_jl_spark.sources import s3
+
+    ini = tmp_path / "cfg.ini"
+    ini.write_text(
+        "[minio]\nendpoint_url = http://localhost:9000\n"
+        "aws_access_key_id = AK\naws_secret_access_key = SK\n"
+    )
+    s3.configure_s3(spark, profile_ini=str(ini), profile="minio")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert conf.get("fs.s3a.access.key") == "AK"
+    assert conf.get("fs.s3a.path.style.access") == "true"
+    with pytest.raises(KeyError):
+        s3.load_profile(str(ini), "nope")
+    with pytest.raises(FileNotFoundError):
+        s3.load_profile(str(tmp_path / "missing.ini"))
+    assert s3.content_type_for("a/b/.zattrs") == "application/json"
+    assert s3.content_type_for("x.bin") == "application/octet-stream"
