@@ -38,29 +38,17 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: geotag → EQC cell index → broadcast cover join → PIP refine
-    → per-footprint-tile counts, on sf0.001."""
-    from pyspark.sql import functions as F
-
-    from copernicusdata_jl_spark import fixtures
-    from copernicusdata_jl_spark.operators.spatial_join import spatial_join
-    from copernicusdata_jl_spark.queries import geotagged_events
+    """Flagship: pages (url, warc_ts, html, lang, lat, lon) → Arrow HTML
+    extraction + digest → url dedup → cell index → broadcast cover join +
+    PIP refine → per-tile doc counts. Page count scaled to the sf0.001
+    smoke tier; the same pipeline is what bench.py and scaling_bench
+    measure at size."""
+    from copernicusdata_jl_spark.flagship import build_pages, flagship_pipeline
 
     _ensure_shipped(spark)
 
-    ev = geotagged_events(spark, "/root/testdata/sf0.001")
-    polys = fixtures.footprints(60)
-    for p in polys:
-        p["poly_id"] = p["product_id"]
-    joined = spatial_join(ev, polys, res=7, keep_cols=["event_id"], strategy="broadcast")
-    tile_by_poly = {p["product_id"]: p["tile_id"] for p in polys}
-    tile_map = F.create_map(*[F.lit(v) for kv in tile_by_poly.items() for v in kv])
-    return (
-        joined.withColumn("tile_id", tile_map[F.col("poly_id")])
-        .groupBy("tile_id")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("tile_id")
-    )
+    pages = build_pages(spark, 4000, partitions=8)
+    return flagship_pipeline(pages)["tiles"].orderBy("tile_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
