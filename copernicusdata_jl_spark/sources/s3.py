@@ -36,9 +36,16 @@ CONTENT_TYPES = {
 
 
 def content_type_for(path: str) -> str:
-    """Infer upload content type from extension; octet-stream fallback."""
-    _, ext = os.path.splitext(path)
-    return CONTENT_TYPES.get(ext.lower(), "application/octet-stream")
+    """Infer upload content type from extension; octet-stream fallback.
+
+    Zarr metadata files are bare dotfiles (``.zattrs``, ``.zarray``, …) so
+    the basename itself is consulted when splitext sees no extension —
+    mirrors the reference's endswith checks (src/utils.jl:24-29).
+    """
+    base = os.path.basename(path)
+    _, ext = os.path.splitext(base)
+    key = (ext or base).lower()
+    return CONTENT_TYPES.get(key, "application/octet-stream")
 
 
 def load_profile(ini_path: str, profile: str = "default") -> dict[str, str]:
