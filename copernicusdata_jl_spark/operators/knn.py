@@ -21,6 +21,22 @@ from pyspark.sql import functions as F
 from ..functions import cells, geo
 
 
+def topk_per_group(df: DataFrame, group_cols: list, order_cols: list, k: int,
+                   rank_col: str = "rank") -> DataFrame:
+    """Two-phase top-k: local row_number within (group, input-partition)
+    prunes to ≤ k rows per group per partition, then the global window
+    ranks the survivors. A single window over the group key sorts the
+    ENTIRE group on however few reducers there are groups — with 5 queries
+    over 10^12 points that is 5 reducers sorting everything; two-phase
+    bounds the final sort at k × num_partitions rows per group. Output is
+    identical to the one-window form (local top-k is a superset of the
+    global top-k)."""
+    w1 = Window.partitionBy(*group_cols, F.spark_partition_id()).orderBy(*order_cols)
+    local = df.withColumn("_lr", F.row_number().over(w1)).filter(F.col("_lr") <= k).drop("_lr")
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return local.withColumn(rank_col, F.row_number().over(w2)).filter(F.col(rank_col) <= k)
+
+
 def knn_kring(
     points: DataFrame,
     queries: DataFrame,
@@ -45,10 +61,10 @@ def knn_kring(
     dist = F.round(
         geo.haversine_m_expr(F.col(lat_col), F.col(lon_col), F.col(qlat_col), F.col(qlon_col)), 3
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.asc("dist_m"), F.asc(point_id_col))
-    return (
-        cand.withColumn("dist_m", dist)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, point_id_col, "rank", "dist_m")
+    ranked = topk_per_group(
+        cand.withColumn("dist_m", dist),
+        [query_id_col],
+        [F.asc("dist_m"), F.asc(point_id_col)],
+        k,
     )
+    return ranked.select(query_id_col, point_id_col, "rank", "dist_m")

@@ -281,10 +281,10 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist_m",
         F.round(geo.haversine_m_expr(F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon")), 3),
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist_m"), F.asc("event_id"))
+    from .operators.knn import topk_per_group
+
     return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        topk_per_group(joined, ["query_id"], [F.asc("dist_m"), F.asc("event_id")], 5)
         .select("query_id", "event_id", "rank", "dist_m")
         .orderBy("query_id", "rank")
     )
@@ -578,11 +578,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = dot(F.col("embedding"), F.col("qe")) / (
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    from .operators.knn import topk_per_group
+
     return (
-        cand.withColumn("cos_sim", F.round(sim, 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        topk_per_group(
+            cand.withColumn("cos_sim", F.round(sim, 6)),
+            ["query_id"],
+            [F.desc("cos_sim"), F.asc("vec_id")],
+            5,
+        )
         .select("query_id", "vec_id", "rank", "cos_sim")
         .orderBy("query_id", "rank")
     )
