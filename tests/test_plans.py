@@ -1,0 +1,98 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the operators compute the right rows; these prove
+they compute them with the PLAN we designed for 100 TB — filters and
+column projection reaching the parquet scan, small sides broadcast (the
+pages side must never shuffle before aggregation), partial map-side
+aggregation, and the two-phase top-k actually bounding the per-group sort.
+A regression here is invisible at sf0.001 and fatal at scale, which is why
+the assertions run against the explain output rather than the results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from copernicusdata_jl_spark import queries as Q
+from copernicusdata_jl_spark.operators.spatial_join import spatial_join
+
+from conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+    # column pruning: the scan reads exactly the two referenced columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_spatial_join_broadcast_strategy_broadcasts(spark):
+    ev = Q.geotagged_events(spark, SF_DIR)
+    out = spatial_join(ev, Q.RECT_POLYGONS, res=7, keep_cols=["event_id"], strategy="broadcast")
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the big (points) side must not shuffle: the only exchange is the
+    # broadcast of the cover table
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_spatial_join_sortmerge_strategy_merges(spark):
+    ev = Q.geotagged_events(spark, SF_DIR)
+    out = spatial_join(ev, Q.RECT_POLYGONS, res=7, keep_cols=["event_id"], strategy="sortmerge")
+    assert "SortMergeJoin" in plan_of(out)
+
+
+def test_aggregation_is_partial_then_final(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    plan = plan_of(df)
+    # map-side combine: a partial_sum HashAggregate below the exchange
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_is_two_phase(spark):
+    out = Q.q_knn_bruteforce(spark, SF_DIR)
+    plan = plan_of(out)
+    # local prune ranks within (group, input partition) BEFORE the global
+    # window: two Window operators, the first keyed by SPARK_PARTITION_ID
+    assert plan.count("Window") >= 2
+    assert "SPARK_PARTITION_ID" in plan
+
+
+def test_semi_and_anti_join_shapes(spark):
+    semi = Q.q_semi_join(spark, SF_DIR)
+    anti = Q.q_anti_join_resume(spark, SF_DIR)
+    assert "LeftSemi" in plan_of(semi)
+    assert "LeftAnti" in plan_of(anti)
+
+
+def test_whole_stage_codegen_covers_dedup_shingling(spark):
+    """The shingle/minhash expressions must stay JVM-side (no Python
+    evaluation nodes in the plan)."""
+    from copernicusdata_jl_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", D.word_ngrams_expr(F.col("text"), 3).alias("sh")
+    )
+    sig = D.minhash_signatures(docs, "doc_id", "sh", 8, fast=True)
+    plan = plan_of(sig)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial min per signature lane before the shuffle (map-side combine)
+    assert "partial_min" in plan
