@@ -115,6 +115,57 @@ def q_select_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SELECT_VARS_SQL = "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey"
 
 
+def q_exclude_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 exclude_vars (reference src/YAXTrees.jl:1146-1175): complement
+    projection — drop listed variables, keep the rest."""
+    from .operators.select import exclude_vars
+
+    return exclude_vars(load(spark, sf_dir, "documents"), ["text", "source"]).orderBy("doc_id")
+
+
+Q_EXCLUDE_VARS_SQL = "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"
+
+
+def q_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/S4 mapping-driven rename projection (reference src/YAXTrees.jl:
+    584-587: [src_var, dest_var] pairs from the product mapping JSON)."""
+    from .sources.mapping import apply_mapping
+
+    pairs = [["p_partkey", "part_key"], ["p_name", "part_name"], ["p_retailprice", "retail_price"]]
+    return apply_mapping(load(spark, sf_dir, "part"), pairs).orderBy("part_key")
+
+
+Q_MAPPING_RENAME_SQL = """
+SELECT p_partkey AS part_key, p_name AS part_name, p_retailprice AS retail_price
+FROM part ORDER BY part_key
+"""
+
+
+def q_fill_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 fill_value→missing normalization at scan (reference
+    src/YAXTrees.jl:370-375): sentinel values become NULL, then
+    null-skipping min/max/count like the reference's skipmissing reductions
+    (docs/src/quickstart.md:43-44)."""
+    from .operators.select import normalize_fill_value
+
+    p = normalize_fill_value(load(spark, sf_dir, "part"), "p_size", 50)
+    return p.groupBy("p_brand").agg(
+        F.count("p_size").alias("n_present"),
+        F.count(F.when(F.col("p_size").isNull(), 1)).alias("n_missing"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    ).orderBy("p_brand")
+
+
+Q_FILL_NORMALIZE_SQL = """
+WITH p AS (SELECT p_brand, CASE WHEN p_size = 50 THEN NULL ELSE p_size END AS p_size FROM part)
+SELECT p_brand, COUNT(p_size) AS n_present,
+       COUNT(CASE WHEN p_size IS NULL THEN 1 END) AS n_missing,
+       MIN(p_size) AS min_size, MAX(p_size) AS max_size
+FROM p GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def q_where_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 `where(cond, v1, v2)` (reference src/YAXTrees.jl:794-804) with the
     missing-aware coalesce(cond, false) overload."""
@@ -619,6 +670,9 @@ WHERE rank <= 5 ORDER BY query_id, rank
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, Q_PRICING_SQL),
     "select_vars": (q_select_vars, Q_SELECT_VARS_SQL),
+    "exclude_vars": (q_exclude_vars, Q_EXCLUDE_VARS_SQL),
+    "mapping_rename": (q_mapping_rename, Q_MAPPING_RENAME_SQL),
+    "fill_normalize": (q_fill_normalize, Q_FILL_NORMALIZE_SQL),
     "where_mask": (q_where_mask, Q_WHERE_MASK_SQL),
     "bbox_filter": (q_bbox_filter, Q_BBOX_SQL),
     "cell_index": (q_cell_index, Q_CELL_INDEX_SQL),
