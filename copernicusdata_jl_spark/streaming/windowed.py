@@ -62,15 +62,73 @@ def windowed_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, table_name: str, checkpoint: str) -> None:
+def run_available_now(
+    stream_df: DataFrame, table_name: str, checkpoint: str, output_mode: str = "complete"
+) -> None:
     """Drain everything currently available into an in-memory sink and stop
     — deterministic batch-equivalent execution of the streaming plan."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup(
+    events: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "2 days"
+) -> DataFrame:
+    """Streaming exact dedup on ``key_cols`` — the incremental twin of the
+    batch url-dedup window. Built on ``dropDuplicatesWithinWatermark`` so
+    the per-key state expires once the watermark passes it: at 10^12 docs
+    the state store holds only the watermark horizon, not the full key
+    history (``dropDuplicates`` without a watermark would grow unboundedly)."""
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return src.dropDuplicates(key_cols)
+
+
+def running_key_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-key running
+    (n_events, sum_value, last_ts) emitted in update mode — the streaming
+    twin of the per-partition lineage rows (operators/lineage.py). Each
+    micro-batch updates one small state tuple per key; the emitted row
+    carries the running count so a consumer can always identify the most
+    recent update per key (max n_events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[val_col].sum())
+            mx = int(pdf[ts_col].astype("int64").max()) if len(pdf) else 0
+            last = max(last, mx)
+        state.update((n, s, last))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "last_ts": [pd.Timestamp(last, unit="ns")],
+            }
+        )
+
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_events long, sum_value double, last_ts timestamp",
+        stateStructType="n long, s double, last long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

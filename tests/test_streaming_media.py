@@ -70,3 +70,56 @@ def test_real_decoder_stub_raises():
 def test_frame_sample(spark):
     frames = spark.createDataFrame([(1, i, b"x") for i in range(30)], "doc_id long, frame_idx long, media binary")
     assert M.frame_sample(frames, every_n=10).count() == 3
+
+
+def test_stream_dedup_state_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: one surviving row per key over
+    the replayed history; state expires with the watermark."""
+    from copernicusdata_jl_spark.streaming.windowed import stream_dedup
+
+    stream = stream_dedup(stream_events(spark, SF), ["user_id"], watermark="3650 days")
+    assert stream.isStreaming
+    run_available_now(stream, "dedup_out", str(tmp_path / "ckpt_dd"), output_mode="append")
+    got = spark.table("dedup_out")
+    n_keys = (
+        spark.read.parquet(f"{SF}/events.parquet").select("user_id").distinct().count()
+    )
+    assert got.count() == n_keys
+    assert got.select("user_id").distinct().count() == n_keys
+
+
+def test_running_key_stats_matches_batch(spark, tmp_path):
+    """Custom applyInPandasWithState operator: the final update per key ==
+    the batch groupBy aggregate over the same files."""
+    from copernicusdata_jl_spark.streaming.windowed import running_key_stats
+
+    stream = running_key_stats(stream_events(spark, SF))
+    assert stream.isStreaming
+    run_available_now(stream, "stats_out", str(tmp_path / "ckpt_rs"), output_mode="update")
+    # most recent update per key = the row with the max running count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    got = {
+        r.user_id: r
+        for r in spark.table("stats_out")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {
+        r.user_id: r
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max(F.col("ts").cast("timestamp")).alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, g in got.items():
+        assert g.n_events == want[k].n_events
+        assert g.sum_value == pytest.approx(want[k].sum_value, rel=1e-9)
+        assert g.last_ts == want[k].last_ts
