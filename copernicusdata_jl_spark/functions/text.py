@@ -95,9 +95,37 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return extract_text_batch(html)
 
 
-def with_extracted_text(df: DataFrame, html_col: str = "html", out_col: str = "text") -> DataFrame:
-    """Attach extracted text + sha256 digest columns (digest JVM-side)."""
-    return df.withColumn(out_col, extract_text_udf(F.col(html_col))).withColumn(
+def extract_text_expr(html: Column) -> Column:
+    """JVM-side extractor twin: the same fixed regex pipeline as
+    :func:`extract_text_py`, built from Catalyst ``regexp_replace`` /
+    ``replace`` so it runs inside whole-stage codegen — no Arrow transfer,
+    no python workers. Byte-identical to the pandas kernel (asserted in
+    tests/test_text.py three ways: python spec == pandas batch == this
+    expression). This is the production path: on this host the Arrow
+    round-trip for ~3 KB pages costs more CPU than the extraction itself,
+    and at 10^12 docs keeping the hot loop in codegen removes the python
+    worker fleet entirely. The pandas kernel remains the specification and
+    the fallback for extractors that genuinely need Python.
+
+    Accepts string or binary input (binary is decoded as UTF-8 first,
+    matching the pages schema ``html:binary``)."""
+    s = html.cast("string")
+    s = F.regexp_replace(s, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"[ \t\n\r\f]+", " "))
+
+
+def with_extracted_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text", jvm: bool = True
+) -> DataFrame:
+    """Attach extracted text + sha256 digest columns. ``jvm`` picks the
+    codegen expression extractor (default); ``jvm=False`` runs the
+    Arrow-batched pandas kernel (byte-identical output)."""
+    ext = extract_text_expr(F.col(html_col)) if jvm else extract_text_udf(F.col(html_col))
+    return df.withColumn(out_col, ext).withColumn(
         f"{out_col}_sha256", F.sha2(F.col(out_col), 256)
     )
 

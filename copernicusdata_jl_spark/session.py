@@ -21,12 +21,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _tune_malloc_env() -> None:
+    """glibc malloc tuning inherited by the JVM and every forked python
+    worker (must run before the JVM starts). Pandas/Arrow kernels allocate
+    and free many multi-MB buffers per batch; with default glibc each one
+    is a fresh mmap + page-fault-in + munmap cycle, which on this kernel
+    dominates the workers' CPU as SYSTEM time (measured 3x user time).
+    Keeping freed memory (high trim threshold) and capping the mmap
+    threshold makes the arenas reusable: pages fault in once per worker,
+    not once per allocation."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 25))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
+
 def get_spark(
     app_name: str = "copernicusdata_jl_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _tune_malloc_env()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -41,12 +55,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # compressed web text packs ~15:1 in parquet; default 128MB split
+        # bin-packing would hand a whole small table to 1-2 tasks. Floor the
+        # split count at 2 waves so the scan parallelizes at any table size
+        .config("spark.sql.files.minPartitionNum", str(2 * int(shuffle_partitions)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 8k rows/batch keeps each worker's pandas intermediates (~25 MB for
+        # 3 KB docs) under the glibc mmap threshold so buffers come from
+        # reused arena memory — see _tune_malloc_env; large batches measured
+        # 2x slower end-to-end from page-fault churn alone
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # deterministic goldens: never silently truncate/round differently
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # small local driver; on a cluster this comes from spark-submit
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # small local driver; on a cluster this comes from spark-submit.
+        # ParallelGC + right-sized heap: G1's concurrent heap commit/uncommit
+        # churn showed up as 10x sys-time on executor task threads here
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     # NOTE: a pre-loading worker daemon (import pandas/pyarrow before the

@@ -84,3 +84,36 @@ def test_rich_extractor_matches_expected_text():
     for i in (0, 1, 7, 99, 1234, 54321):
         assert text.extract_text_py(text.render_html_rich(i)) == text.expected_text_rich(i)
     assert len(text.render_html_rich(123)) > 2000
+
+
+def test_jvm_expr_extractor_byte_parity(spark):
+    """Three-way parity: python spec == Arrow pandas kernel == JVM codegen
+    expression, byte-for-byte, over plain and rich pages (string + binary)."""
+    from pyspark.sql import functions as F
+
+    htmls = [text.render_html(i) for i in range(100)] + [
+        text.render_html_rich(i) for i in range(60)
+    ]
+    want = [text.extract_text_py(h) for h in htmls]
+    df = spark.createDataFrame([(h,) for h in htmls], "html string").repartition(5)
+    got_expr = [
+        r.t
+        for r in df.select(text.extract_text_expr(F.col("html")).alias("t"), "html")
+        .orderBy("html")
+        .collect()
+    ]
+    got_udf = [
+        r.t
+        for r in df.select(text.extract_text_udf(F.col("html")).alias("t"), "html")
+        .orderBy("html")
+        .collect()
+    ]
+    want_sorted = [text.extract_text_py(h) for h in sorted(htmls)]
+    assert got_expr == want_sorted
+    assert got_udf == want_sorted
+    # binary input path (pages schema html:binary)
+    dfb = spark.createDataFrame([(h.encode(),) for h in htmls], "html binary")
+    got_bin = sorted(
+        r.t for r in dfb.select(text.extract_text_expr(F.col("html")).alias("t")).collect()
+    )
+    assert got_bin == sorted(want)
