@@ -77,39 +77,41 @@ def build_pages(spark: SparkSession, n: int, partitions: int = 32, rich: bool = 
     )
 
 
-def flagship_pipeline(
-    pages: DataFrame,
-    footprints: list[dict] | None = None,
-    res: int = 7,
-    checkpoint_path: str | None = None,
-) -> dict[str, DataFrame]:
-    """The full north-rule pipeline as lazy DataFrames."""
-    polys = footprints or fixtures.footprints(120)
-    for p in polys:
-        p.setdefault("poly_id", p["product_id"])
+def prepare_corpus(pages: DataFrame) -> dict[str, DataFrame]:
+    """Dedup + extraction: the corpus half of the pipeline.
 
-    # 1. dedup FIRST: latest warc_ts per url. The window shuffle carries
-    #    html but not text, and the extractor below then runs once per
-    #    surviving url instead of once per crawl duplicate — at 10^12 docs
-    #    with ~5-30% recrawl duplication this is the single biggest saving.
+    1. dedup FIRST: latest warc_ts per url. The window shuffle carries
+       html but not text, and the extractor then runs once per surviving
+       url instead of once per crawl duplicate — at 10^12 docs with
+       ~5-30% recrawl duplication this is the single biggest saving.
+    2. extractor + digest (the per-row invariant gate). JVM codegen
+       expression — byte-identical to the Arrow pandas kernel (tested),
+       but no Arrow round-trip for the hottest column at 10^12 docs.
+    """
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
     deduped = pages.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    # 2. extractor + digest (the per-row invariant gate). JVM codegen
-    #    expression — byte-identical to the Arrow pandas kernel (tested),
-    #    but no Arrow round-trip for the hottest column at 10^12 docs
     extracted = deduped.withColumn("text", extract_text_expr(F.col("html"))).withColumn(
         "text_sha256", F.sha2(F.col("text"), 256)
     )
-    # 3. cell index (JVM) — downstream of extraction so the invariant gate
-    #    (text + digest) is part of every run
+    return {"deduped": deduped, "extracted": extracted}
+
+
+def spatial_products(
+    extracted: DataFrame,
+    footprints: list[dict] | None = None,
+    res: int = 7,
+) -> dict[str, DataFrame]:
+    """Spatial half over an extracted corpus: cell index → broadcast cover
+    join + PIP refine → per-tile counts → per-partition lineage rows.
+    ``text_sha256`` rides along into the lineage checksum so the invariant
+    gate is part of the spatial product."""
+    polys = footprints or fixtures.footprints(120)
+    for p in polys:
+        p.setdefault("poly_id", p["product_id"])
     indexed = extracted.withColumn("cell_id", cells.latlng_to_cell_expr("lat", "lon", res))
-    # 4. spatial join (broadcast covers + PIP refine). text_sha256 rides
-    #    along into the lineage checksum — Catalyst would otherwise prune
-    #    the unused text columns and dead-code-eliminate the extractor.
     joined = spatial_join(
         indexed, polys, res=res, keep_cols=["url", "cell_id", "text_sha256"], strategy="broadcast"
     )
-    # 5. per-tile counts
     tile_by_poly = {p["poly_id"]: p["tile_id"] for p in polys}
     tmap = F.create_map(*[F.lit(v) for kv in tile_by_poly.items() for v in kv])
     tiles = (
@@ -117,10 +119,21 @@ def flagship_pipeline(
         .groupBy("tile_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    # 6. lineage rows (bucketed by coarse cell)
     lin_src = joined.withColumn("bucket", F.pmod(cells.cell_parent_expr("cell_id", res, 3), F.lit(64)))
     lin = lineage_rows(lin_src, "bucket", "cell_id", hash_cols=["url", "poly_id", "text_sha256"])
-    return {"extracted": extracted, "deduped": deduped, "joined": joined, "tiles": tiles, "lineage": lin}
+    return {"joined": joined, "tiles": tiles, "lineage": lin}
+
+
+def flagship_pipeline(
+    pages: DataFrame,
+    footprints: list[dict] | None = None,
+    res: int = 7,
+    checkpoint_path: str | None = None,
+) -> dict[str, DataFrame]:
+    """The full north-rule pipeline as lazy DataFrames."""
+    corpus = prepare_corpus(pages)
+    spatial = spatial_products(corpus["extracted"], footprints, res)
+    return {**corpus, **spatial}
 
 
 def run_flagship(
@@ -131,29 +144,33 @@ def run_flagship(
     """Execute the pipeline over a parquet pages table; return metrics."""
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
-    stages = flagship_pipeline(pages)
     t0 = time.perf_counter()
     # pass 1 — the corpus product: extraction + digest over EVERY deduped
-    # page (a real training-data job writes this table; here we force it
-    # with an aggregate so the benchmark includes full-corpus extraction —
-    # without this, Catalyst defers the text projection past the spatial
-    # filter and only extracts the ~9% of pages that land in a footprint)
-    corpus = stages["extracted"].select(
+    # page, persisted (a real training-data job writes this table) and
+    # forced with an aggregate so the benchmark includes full-corpus
+    # extraction — without forcing, Catalyst defers the text projection
+    # past the spatial filter and only extracts the ~9% of pages that land
+    # in a footprint. html is dropped from the persisted corpus: downstream
+    # needs text only, and not caching the raw bytes halves the footprint.
+    extracted = prepare_corpus(pages)["extracted"].drop("html").persist()
+    corpus = extracted.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("text")).alias("chars"),
         F.expr("bit_xor(xxhash64(text_sha256))").alias("corpus_digest"),
     ).first()
-    # pass 2 — the spatial product: join output persisted (a real job
-    # writes it); tile/lineage aggregations read the persisted result
-    joined = stages["joined"].persist()
+    # pass 2 — the spatial product joins the persisted corpus (no
+    # re-extraction); tile/lineage aggregations read the persisted join
+    spatial = spatial_products(extracted)
+    joined = spatial["joined"].persist()
     n_assign = joined.count()
-    tiles = stages["tiles"].collect()
-    lineage = stages["lineage"].count()
-    joined.unpersist()
+    tiles = spatial["tiles"].collect()
+    lineage = spatial["lineage"].count()
     if checkpoint_path:
         from .operators.lineage import write_checkpoint
 
-        write_checkpoint(stages["lineage"], checkpoint_path, run_id="bench")
+        write_checkpoint(spatial["lineage"], checkpoint_path, run_id="bench")
+    joined.unpersist()
+    extracted.unpersist()
     wall = time.perf_counter() - t0
     n_tiles = len(tiles)
     return {

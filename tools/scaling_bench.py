@@ -69,7 +69,10 @@ def tree_cpu_seconds():
 
 from copernicusdata_jl_spark.session import get_spark
 from copernicusdata_jl_spark.flagship import run_flagship
-spark = get_spark(app_name="scaling-bench", master="local[{cpus}]", shuffle_partitions={cpus})
+# 4 partitions per core: the url-dedup window sorts ~3 KB rows; smaller
+# sort chunks stay within execution memory at full concurrency (32 x 1/32
+# of the table spilled where 32 x 1/128 fits)
+spark = get_spark(app_name="scaling-bench", master="local[{cpus}]", shuffle_partitions=4 * {cpus})
 spark.sparkContext.setLogLevel("ERROR")
 run_flagship(spark, {pages!r})          # warmup: codegen + python worker pool
 runs = []
