@@ -164,7 +164,8 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # raw per-run report; BENCH/BASELINE.md is the curated cross-run summary
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(
             f"""# BENCH — scaling-efficiency evidence (north rule)
 
