@@ -40,25 +40,20 @@ def linear_interp_at(
     the observed range → NULL (the reference's missing propagation,
     src/YAXTrees.jl:802).
     """
-    below = (
-        df.filter(F.col(x_col) <= at)
-        .groupBy(*group_cols)
-        .agg(F.max(x_col).alias("_x0"))
-        .join(df, group_cols)
-        .filter(F.col(x_col) == F.col("_x0"))
-        .groupBy(*group_cols, "_x0")
-        .agg(F.min(y_col).alias("_y0"))
+    # one conditional-aggregate pass: bracketing sample per side as a
+    # struct extremum (max struct(x, -y) = largest x, then smallest y on
+    # ties — the reference's deterministic tie-break). Single shuffle with
+    # map-side partials; the previous two-join formulation shuffled the
+    # table four times for the same answer.
+    x, y = F.col(x_col), F.col(y_col)
+    s0 = F.max(F.when(x <= at, F.struct(x.alias("x"), (-y).alias("ny"))))
+    s1 = F.min(F.when(x >= at, F.struct(x.alias("x"), y.alias("y"))))
+    j = df.groupBy(*group_cols).agg(
+        s0.getField("x").alias("_x0"),
+        (-s0.getField("ny")).alias("_y0"),
+        s1.getField("x").alias("_x1"),
+        s1.getField("y").alias("_y1"),
     )
-    above = (
-        df.filter(F.col(x_col) >= at)
-        .groupBy(*group_cols)
-        .agg(F.min(x_col).alias("_x1"))
-        .join(df, group_cols)
-        .filter(F.col(x_col) == F.col("_x1"))
-        .groupBy(*group_cols, "_x1")
-        .agg(F.min(y_col).alias("_y1"))
-    )
-    j = below.join(above, group_cols, "full_outer")
     frac = (F.lit(float(at)) - F.col("_x0")) / (F.col("_x1") - F.col("_x0"))
     interp = F.when(F.col("_x1") == F.col("_x0"), F.col("_y0")).otherwise(
         F.col("_y0") + (F.col("_y1") - F.col("_y0")) * frac
