@@ -78,10 +78,8 @@ def main() -> None:
     pages_path = os.path.join(tempfile.mkdtemp(prefix="bench_pages_"), "pages.parquet")
     build_pages(spark, n_pages, int(cpus) * 2).write.parquet(pages_path)
     run_flagship(spark, pages_path)  # warmup: python-worker pool + codegen
-    fm = min(
-        (run_flagship(spark, pages_path) for _ in range(2)),
-        key=lambda m: m["wall_sec"],
-    )
+    trials = [run_flagship(spark, pages_path) for _ in range(2)]
+    fm = min(trials, key=lambda m: m["wall_sec"])
 
     out = {
         "metric": "headline-queries-total",
@@ -92,6 +90,12 @@ def main() -> None:
         "docs_per_sec": fm["docs_per_sec"],
         "tiles_per_sec": fm["tiles_per_sec"],
         "flagship_wall_sec": fm["wall_sec"],
+        # self-describing metric definition (ADVICE r1): flagship numbers
+        # are the best of N timed warm trials after one untimed warmup;
+        # every timed wall is listed so cross-round comparisons can detect
+        # protocol changes without reading repo docs
+        "flagship_protocol": "warmup+best-of-2-warm",
+        "flagship_walls_trial": [m["wall_sec"] for m in trials],
         "n_docs": int(fm["n_docs"]),
         "n_events": n_docs,
     }

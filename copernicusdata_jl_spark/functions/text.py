@@ -59,35 +59,52 @@ def expected_text(i: int) -> str:
 # Extractor — Arrow-batched, pure regex pipeline
 # ---------------------------------------------------------------------------
 
-_RE_SCRIPT = re.compile(r"<script\b[^>]*>.*?</script>", re.S | re.I)
-_RE_STYLE = re.compile(r"<style\b[^>]*>.*?</style>", re.S | re.I)
+# Tag-name boundary written as an explicit ASCII negative lookahead
+# (?![0-9A-Za-z_]) rather than \b: Python \b is Unicode-aware and Java \b is
+# ASCII in this position, so the same pattern text would diverge on inputs
+# like "<scripté" — the lookahead is identical ASCII semantics in both.
+_RE_SCRIPT = re.compile(r"<script(?![0-9A-Za-z_])[^>]*>.*?</script>", re.S | re.I)
+_RE_STYLE = re.compile(r"<style(?![0-9A-Za-z_])[^>]*>.*?</style>", re.S | re.I)
 _RE_TAG = re.compile(r"<[^>]*>")
 _RE_WS = re.compile(r"[ \t\n\r\f]+")
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
 
 def extract_text_py(html: str) -> str:
-    """Pure-Python single-string extractor (the specification)."""
+    """Pure-Python single-string extractor (the specification).
+
+    Edge trimming is explicitly ASCII-space-only (``strip(" ")``): Python's
+    bare ``str.strip()`` also removes \\x0b and Unicode whitespace (NBSP …)
+    that the collapse class leaves behind, while Spark ``trim()`` removes
+    only 0x20 — pinning both to ASCII space keeps the python/pandas/JVM
+    paths byte-identical on real-world whitespace (see ADVICE r1)."""
     s = _RE_SCRIPT.sub(" ", html)
     s = _RE_STYLE.sub(" ", s)
     s = _RE_TAG.sub(" ", s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
-    return _RE_WS.sub(" ", s).strip()
+    return _RE_WS.sub(" ", s).strip(" ")
 
 
 def extract_text_batch(html: pd.Series) -> pd.Series:
-    """Vectorized pandas twin (str accessor = C-loop over the batch)."""
+    """Vectorized pandas twin (str accessor = C-loop over the batch).
+
+    Binary input decodes with errors="replace" (U+FFFD), matching the JVM
+    path's cast-to-string behavior on invalid UTF-8 rather than raising.
+    NOTE: exact FFFD *counts* for malformed multi-byte sequences can differ
+    between the JVM and Python decoders, so digest parity is guaranteed only
+    for valid-UTF-8 input; the JVM expression (jvm=True) is the canonical
+    digest path."""
     s = html
     if len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
-        s = s.str.decode("utf-8")
+        s = s.str.decode("utf-8", errors="replace")
     s = s.astype("string")
     s = s.str.replace(_RE_SCRIPT, " ", regex=True)
     s = s.str.replace(_RE_STYLE, " ", regex=True)
     s = s.str.replace(_RE_TAG, " ", regex=True)
     for ent, ch in _ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
-    return s.str.replace(_RE_WS, " ", regex=True).str.strip()
+    return s.str.replace(_RE_WS, " ", regex=True).str.strip(" ")
 
 
 @F.pandas_udf(T.StringType())
@@ -108,10 +125,16 @@ def extract_text_expr(html: Column) -> Column:
     the fallback for extractors that genuinely need Python.
 
     Accepts string or binary input (binary is decoded as UTF-8 first,
-    matching the pages schema ``html:binary``)."""
+    matching the pages schema ``html:binary``). Parity contract: byte-
+    identical to the python/pandas kernels for valid-UTF-8 input — the tag
+    boundary is an explicit ASCII lookahead and edge trimming is ASCII-space
+    only on every path, so Unicode whitespace (NBSP, \\x0b, …) flows through
+    all three identically. On INVALID UTF-8 bytes this JVM path is the
+    canonical one for ``text_sha256`` (Python's replacement-char policy may
+    emit different U+FFFD counts)."""
     s = html.cast("string")
-    s = F.regexp_replace(s, r"(?is)<script\b[^>]*>.*?</script>", " ")
-    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?is)<script(?![0-9A-Za-z_])[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style(?![0-9A-Za-z_])[^>]*>.*?</style>", " ")
     s = F.regexp_replace(s, r"<[^>]*>", " ")
     for ent, ch in _ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
@@ -133,14 +156,17 @@ def with_extracted_text(
 def extract_text_sql(html_expr: str) -> str:
     """ANSI-SQL twin of the extractor (DuckDB/RE2-compatible), used as the
     independent oracle for digest parity. Mirrors extract_text_py exactly
-    for HTML without nested/malformed tags."""
-    s = f"regexp_replace({html_expr}, '<script[^>]*>.*?</script>', ' ', 'gs')"
-    s = f"regexp_replace({s}, '<style[^>]*>.*?</style>', ' ', 'gs')"
+    for HTML without nested/malformed tags. RE2 lacks lookahead, so the
+    ASCII tag boundary is the equivalent alternation (>| non-word char)."""
+    s = f"regexp_replace({html_expr}, '<script(>|[^>0-9A-Za-z_][^>]*>).*?</script>', ' ', 'gsi')"
+    s = f"regexp_replace({s}, '<style(>|[^>0-9A-Za-z_][^>]*>).*?</style>', ' ', 'gsi')"
     s = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
     for ent, ch in _ENTITIES:
         ch_sql = ch.replace("'", "''")
         s = f"replace({s}, '{ent}', '{ch_sql}')"
-    return f"trim(regexp_replace({s}, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+    # trim(x, ' '): DuckDB's one-arg trim strips Unicode whitespace; the
+    # engine contract is ASCII-space-only edges on every path
+    return f"trim(regexp_replace({s}, '[ \\t\\n\\r\\f]+', ' ', 'g'), ' ')"
 
 
 # ---------------------------------------------------------------------------

@@ -83,13 +83,15 @@ def word_ngrams_expr(text: Column, n: int = 3) -> Column:
     interpreted lambda, re-tokenizing the text O(tokens·n) times per row —
     measured ~8× slower at sf0.1. Here the token array is referenced a
     constant number of times regardless of length. Empty array when the text
-    has fewer than n tokens (slice count clamps to 0)."""
+    has fewer than n tokens (slice count clamps to 0) AND for NULL text —
+    the trailing coalesce preserves the empty-array contract that callers
+    counting shingles (size/array ops without a null guard) rely on."""
     toks = F.split(text, " ")
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     out = F.slice(toks, 1, cnt)
     for j in range(1, n):
         out = F.zip_with(out, F.slice(toks, j + 1, cnt), lambda x, y: F.concat_ws(" ", x, y))
-    return F.array_distinct(out)
+    return F.coalesce(F.array_distinct(out), F.array().cast("array<string>"))
 
 
 def word_ngrams_sql(text_expr: str, n: int = 3) -> str:

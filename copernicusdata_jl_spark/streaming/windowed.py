@@ -81,15 +81,52 @@ def run_available_now(
 def stream_dedup(
     events: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "2 days"
 ) -> DataFrame:
-    """Streaming exact dedup on ``key_cols`` — the incremental twin of the
-    batch url-dedup window. Built on ``dropDuplicatesWithinWatermark`` so
-    the per-key state expires once the watermark passes it: at 10^12 docs
+    """Streaming exact dedup on ``key_cols`` with FIRST-WINS semantics: the
+    first-arriving row per key survives (``dropDuplicatesWithinWatermark``),
+    and per-key state expires once the watermark passes it — at 10^12 docs
     the state store holds only the watermark horizon, not the full key
-    history (``dropDuplicates`` without a watermark would grow unboundedly)."""
+    history (``dropDuplicates`` without a watermark would grow unboundedly).
+
+    NOT the same surviving row as the batch url-dedup (prepare_corpus keeps
+    the LATEST ``warc_ts`` per url): the two agree only when each key occurs
+    once per watermark window. For latest-wins incremental dedup use
+    :func:`stream_dedup_latest`."""
     src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if events.isStreaming:
         return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
     return src.dropDuplicates(key_cols)
+
+
+def stream_dedup_latest(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """LATEST-WINS streaming dedup — the true incremental twin of the batch
+    url-dedup (latest ``ts_col`` per key): a watermarked tumbling-window
+    ``max_by`` aggregation emits, once the watermark closes a window, the
+    single latest row per (window, key). Append output mode (each row final
+    exactly once); state is one payload row per in-flight (window, key).
+
+    Equals the batch latest-wins result per window partition; keys recurring
+    across windows surface one winner per window — the consumer keeps the
+    window column to resolve globally (or windows are sized to the recrawl
+    horizon). On a batch frame the same plan runs as a plain aggregation,
+    which is the parity the tests assert."""
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    payload = [c for c in src.columns if c not in key_cols and c != ts_col]
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    agg = (
+        src.groupBy(F.window(ts_col, window).alias("w"), *key_cols)
+        .agg(
+            F.max(ts_col).alias(ts_col),
+            *[F.max_by(c, ts_col).alias(c) for c in payload],
+        )
+    )
+    return agg.select(F.col("w.start").alias("window_start"), *key_cols, ts_col, *payload)
 
 
 def running_key_stats(

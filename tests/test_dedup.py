@@ -87,3 +87,14 @@ def test_candidate_pairs_bucket_cap(spark):
     bands = spark.createDataFrame([(i, 0, "hot") for i in range(10)], ["doc_id", "band", "key"])
     assert D.candidate_pairs(bands, max_bucket=5).count() == 0
     assert D.candidate_pairs(bands, max_bucket=None).count() == 45
+
+
+def test_word_ngrams_null_text_yields_empty_array(spark):
+    """NULL text must produce an empty shingle array (not NULL), so callers
+    that size()/array-op the column need no null guard (ADVICE r1)."""
+    from copernicusdata_jl_spark.operators.dedup import word_ngrams_expr
+
+    df = spark.createDataFrame([(1, None), (2, "a b c d"), (3, "x")], "doc_id long, text string")
+    rows = {r.doc_id: r.n for r in df.select(
+        "doc_id", F.size(word_ngrams_expr(F.col("text"), 3)).alias("n")).collect()}
+    assert rows == {1: 0, 2: 2, 3: 0}

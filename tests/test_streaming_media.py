@@ -123,3 +123,30 @@ def test_running_key_stats_matches_batch(spark, tmp_path):
         assert g.n_events == want[k].n_events
         assert g.sum_value == pytest.approx(want[k].sum_value, rel=1e-9)
         assert g.last_ts == want[k].last_ts
+
+
+def test_stream_dedup_latest_matches_batch(spark, tmp_path):
+    """stream_dedup_latest (watermarked window + max_by, append mode) must
+    emit exactly the batch latest-wins winner per (window, key)."""
+    from copernicusdata_jl_spark.streaming.windowed import stream_dedup_latest
+
+    stream = stream_dedup_latest(
+        stream_events(spark, SF), ["user_id"], window="1 day", watermark="0 seconds"
+    )
+    assert stream.isStreaming
+    run_available_now(stream, "dedup_latest_out", str(tmp_path / "ckpt_dl"), output_mode="append")
+    # append mode emits a window only once the watermark passes its end, so
+    # the final (still-open) event-time day never flushes in a drain —
+    # compare the closed windows, which must match the batch plan exactly
+    max_day = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.date_trunc("day", F.max(F.col("ts").cast("timestamp"))).alias("d"))
+        .first()
+        .d
+    )
+    got = sorted(map(tuple, spark.table("dedup_latest_out").filter(F.col("window_start") < F.lit(max_day)).collect()))
+    batch = stream_dedup_latest(
+        spark.read.parquet(f"{SF}/events.parquet"), ["user_id"], window="1 day"
+    ).filter(F.col("window_start") < F.lit(max_day))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0

@@ -117,3 +117,34 @@ def test_jvm_expr_extractor_byte_parity(spark):
         r.t for r in dfb.select(text.extract_text_expr(F.col("html")).alias("t")).collect()
     )
     assert got_bin == sorted(want)
+
+
+def test_extractor_edge_charset_parity(spark):
+    """ADVICE r1: parity must hold beyond the fixture charset — Unicode
+    whitespace (NBSP), vertical tab, uppercase tags, and \\b-adjacent tag
+    names must extract identically on the python spec, the pandas kernel,
+    the JVM expression, and the DuckDB SQL twin."""
+    cases = [
+        "<html><body>\xa0 hello\x0bworld \xa0</body></html>",  # unicode ws edges
+        " \t<p>lead and trail</p>\n ",
+        "<SCRIPT>drop()</SCRIPT><p>Keep</p>",
+        "<scriptx>not a script tag</scriptx><p>ok</p>",
+        "<script type='t'>drop</script>kept",
+        "<style media=print>p{}</style>styled text",
+        "café — résumé<script>x</script>",
+    ]
+    want = [text.extract_text_py(h) for h in cases]
+    # pandas kernel
+    assert list(text.extract_text_batch(pd.Series(cases))) == want
+    # JVM expression (string + binary input)
+    df = spark.createDataFrame([(h,) for h in cases], "html string")
+    got = [r.t for r in df.select(text.extract_text_expr(F.col("html")).alias("t")).collect()]
+    assert got == want
+    dfb = spark.createDataFrame([(h.encode(),) for h in cases], "html binary")
+    gotb = [r.t for r in dfb.select(text.extract_text_expr(F.col("html")).alias("t")).collect()]
+    assert gotb == want
+    # DuckDB SQL twin
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"html": cases}))
+    gots = [r[0] for r in con.execute(f"SELECT {text.extract_text_sql('html')} FROM t").fetchall()]
+    assert gots == want
