@@ -346,12 +346,22 @@ def embedding_neardup(
     dim: int = 64,
     num_proj: int = 8,
     threshold: float = 0.99,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate vector pairs: sign-LSH bucket join → exact cosine ≥
     threshold. The bucket join shuffles (id, bucket) only; vectors are
-    re-joined for the exact check on candidates."""
+    re-joined for the exact check on candidates.
+
+    ``max_bucket`` is the same skew guard as :func:`candidate_pairs`: a
+    degenerate bucket (e.g. all-zero embeddings from empty docs all land in
+    bucket 0, since 0·w = 0 fails every sign test) would otherwise expand
+    quadratically at 10^12 rows — buckets above the cap are dropped before
+    pairing (VERDICT r1 #2)."""
     w = projection_weights(dim, num_proj)
     b = emb.select(id_col, vec_col, sign_bucket_expr(F.col(vec_col), w).alias("bucket"))
+    if max_bucket is not None:
+        bw = Window.partitionBy("bucket")
+        b = b.withColumn("_n", F.count(F.lit(1)).over(bw)).filter(F.col("_n") <= max_bucket).drop("_n")
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(c, "bucket")

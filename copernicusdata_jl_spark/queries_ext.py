@@ -205,9 +205,11 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: 8-bit sign-LSH bucket join + exact cosine
     verification. Gate threshold 0.35 exercises real pairs in the synthetic
     embeddings (max pairwise cosine there is ~0.51); production near-dup
-    threshold defaults to 0.99 in operators/dedup.embedding_neardup."""
+    threshold defaults to 0.99 in operators/dedup.embedding_neardup. The
+    degenerate-bucket cap (4096, mirrored in the oracle SQL) bounds the
+    quadratic pair expansion per bucket."""
     return D.embedding_neardup(
-        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", _DIM, 8, 0.35
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", _DIM, 8, 0.35, max_bucket=4096
     ).orderBy("id_a", "id_b")
 
 
@@ -226,7 +228,9 @@ _COS_SQL = """round(
 def _embed_neardup_sql() -> str:
     cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
     return f"""
-WITH b AS (SELECT vec_id, embedding, ({_bucket_sql('embedding', 8)}) AS bucket FROM embeddings),
+WITH b0 AS (SELECT vec_id, embedding, ({_bucket_sql('embedding', 8)}) AS bucket FROM embeddings),
+sized AS (SELECT bucket, count(*) AS n FROM b0 GROUP BY bucket),
+b AS (SELECT b0.* FROM b0 JOIN sized USING (bucket) WHERE sized.n <= 4096),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
   FROM b a JOIN b b ON a.bucket = b.bucket
