@@ -226,18 +226,21 @@ def cell_parent_expr(cell, child_res: int, parent_res: int) -> Column:
     )
 
 
-def kring_expr(cell, res: int, k: int) -> Column:
+def kring_expr(cell, res: int, k) -> Column:
     """Array column of k-ring cell ids (same res), antimeridian-wrapped.
 
     Built from ``sequence`` + ``transform``/``flatten`` — stays JVM-side.
-    Out-of-range y neighbors are dropped via ``filter``.
+    Out-of-range y neighbors are dropped via ``filter``. ``k`` may be an
+    int or a Column (per-row ring radius, used by kNN ring escalation).
     """
     cell = F.col(cell) if isinstance(cell, str) else cell
     nx, ny = nx_ny(res)
     x = ((cell % F.lit(R_MULT)) / F.lit(X_MULT)).cast("long")
     y = (cell % F.lit(X_MULT)).cast("long")
-    dxs = F.sequence(F.lit(-k), F.lit(k))
-    dys = F.sequence(F.lit(-k), F.lit(k))
+    kc = k if isinstance(k, Column) else F.lit(int(k))
+    kc = kc.cast("int")
+    dxs = F.sequence(-kc, kc)
+    dys = F.sequence(-kc, kc)
     pairs = F.flatten(
         F.transform(dxs, lambda dx: F.transform(dys, lambda dy: F.struct(dx.alias("dx"), dy.alias("dy"))))
     )

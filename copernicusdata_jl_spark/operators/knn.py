@@ -6,16 +6,31 @@ cells, expand each query's cell to its radius-k Moore ring (JVM array
 expression, antimeridian-wrapped), equi-join candidates on cell id, rank by
 exact haversine, keep k.
 
+Ring escalation (VERDICT r1 #3): a fixed ring can under-fill (sparse
+regions) or under-COVER (near the poles a degree-ring is metrically narrow
+in x, so a closer point can sit outside it). ``escalate=True`` iteratively
+doubles each query's ring until (a) it holds ≥ k candidates AND (b) the
+k-th distance is within the ring's *guaranteed* metric radius — a provable
+lower bound on the distance to any point outside the ring (per-row haversine
+bound below). The escalated result therefore equals exact brute-force kNN,
+which is what the oracle asserts; the ring is purely a pruning accelerator.
+
 Scale design: queries are the small side and broadcast after the k-ring
-explode — the point table never shuffles and is touched once with its
-cell id computed in whole-stage codegen. Candidate count per query is
-bounded by ring area × cell density; escalate ``k_ring`` (or coarsen
-``res``) when a query's ring under-fills, never scan beyond the ring.
+explode — the point table never shuffles and is touched once per escalation
+round with its cell id computed in whole-stage codegen. Rings grow only for
+the under-served queries (driver tracks one (ring, done) pair per query;
+queries are small-side by contract — for millions of queries coarsen ``res``
+so the initial ring fills). Candidate count per query is bounded by ring
+area × cell density; each round's top-k is persisted so the final union
+never recomputes a round.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import cells, geo
@@ -37,6 +52,50 @@ def topk_per_group(df: DataFrame, group_cols: list, order_cols: list, k: int,
     return local.withColumn(rank_col, F.row_number().over(w2)).filter(F.col(rank_col) <= k)
 
 
+def ring_guarantee_m(qlat: float, ring: int, res: int) -> float:
+    """Provable lower bound (meters) on the haversine distance from a query
+    at latitude ``qlat`` to ANY point outside its radius-``ring`` Moore ring
+    at resolution ``res``. Any outside point either
+
+    - differs by more than ``ring`` rows in y → Δlat > ring·h, giving the
+      pure-latitude bound 2R·asin(sin(Δlat/2)) = R·Δlat_rad; or
+    - lies in a covered row dy ∈ [-ring, ring] but beyond ``ring`` columns
+      (circular) → Δlon > ring·w, giving per-row
+      2R·asin(sqrt(sin²(gap_lat_row/2) + cos(qlat)·cmin_row·sin²(ring·w/2)))
+      with cmin_row = min cos(lat) over that row's band (0 only for the
+      pole-touching row, where the gap_lat term still bounds it).
+
+    Returns +inf when the ring covers the whole grid (exact kNN)."""
+    nx, ny = cells.nx_ny(res)
+    h, w = 180.0 / ny, 360.0 / nx
+    _, qy = cells.latlng_to_xy(qlat, 0.0, res)
+    qy = int(qy)
+    y_covered = qy - ring < 0 and qy + ring > ny - 1
+    x_covered = 2 * ring + 1 >= nx
+    if y_covered and x_covered:
+        return float("inf")
+    y_bound = math.radians(ring * h) * geo.EARTH_RADIUS_M if not y_covered else float("inf")
+    if x_covered:
+        return y_bound
+    ys = np.arange(max(0, qy - ring), min(ny - 1, qy + ring) + 1)
+    lat0 = -90.0 + ys * h
+    lat1 = lat0 + h
+    gap_lat = np.maximum(0.0, np.maximum(lat0 - qlat, qlat - lat1))
+    cmin = np.minimum(np.cos(np.radians(lat0)), np.cos(np.radians(lat1)))
+    a = (
+        np.sin(np.radians(gap_lat) / 2.0) ** 2
+        + math.cos(math.radians(qlat)) * cmin * math.sin(math.radians(ring * w) / 2.0) ** 2
+    )
+    x_bound = float((2.0 * geo.EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(a, 1.0)))).min())
+    return min(y_bound, x_bound)
+
+
+def full_ring(res: int) -> int:
+    """Ring radius that covers the entire grid from any cell."""
+    nx, ny = cells.nx_ny(res)
+    return max(ny - 1, (nx + 1) // 2)
+
+
 def knn_kring(
     points: DataFrame,
     queries: DataFrame,
@@ -49,22 +108,72 @@ def knn_kring(
     qlon_col: str = "qlon",
     query_id_col: str = "query_id",
     point_id_col: str = "event_id",
+    escalate: bool = True,
+    max_rounds: int = 16,
 ) -> DataFrame:
-    """Top-k nearest points per query among the query's k-ring candidate
-    cells → (query_id, point_id, rank, dist_m)."""
+    """Top-k nearest points per query → (query_id, point_id, rank, dist_m).
+
+    Candidates come from each query's k-ring cells (starting at ``k_ring``);
+    with ``escalate`` the ring doubles per round for queries whose top-k is
+    not yet guaranteed exact (see :func:`ring_guarantee_m`), so the result
+    equals brute-force kNN. ``escalate=False`` is the single-pass
+    fixed-ring variant (top-k *within the ring*)."""
+    spark = points.sparkSession
     pts = points.withColumn("cell_id", cells.latlng_to_cell_expr(lat_col, lon_col, res))
-    q = queries.withColumn("qcell", cells.latlng_to_cell_expr(qlat_col, qlon_col, res))
-    qx = q.withColumn("cell_id", F.explode(cells.kring_expr(F.col("qcell"), res, k_ring))).select(
-        query_id_col, qlat_col, qlon_col, "cell_id"
-    )
-    cand = pts.join(F.broadcast(qx), "cell_id")
     dist = F.round(
         geo.haversine_m_expr(F.col(lat_col), F.col(lon_col), F.col(qlat_col), F.col(qlon_col)), 3
     )
-    ranked = topk_per_group(
-        cand.withColumn("dist_m", dist),
-        [query_id_col],
-        [F.asc("dist_m"), F.asc(point_id_col)],
-        k,
-    )
-    return ranked.select(query_id_col, point_id_col, "rank", "dist_m")
+    r_full = full_ring(res)
+
+    from pyspark.sql import types as T
+
+    qsel = queries.select(query_id_col, qlat_col, qlon_col)
+    qschema = T.StructType(list(qsel.schema.fields) + [T.StructField("_ring", T.IntegerType())])
+    qrows = qsel.collect()
+    rings = {r[query_id_col]: min(k_ring, r_full) for r in qrows}
+    pending = qrows
+    finals: list[DataFrame] = []
+    rounds = 0
+    while pending:
+        rounds += 1
+        qdf = spark.createDataFrame(
+            [(r[query_id_col], r[qlat_col], r[qlon_col], rings[r[query_id_col]]) for r in pending],
+            qschema,
+        ).withColumn("qcell", cells.latlng_to_cell_expr(qlat_col, qlon_col, res))
+        qx = qdf.withColumn(
+            "cell_id", F.explode(cells.kring_expr(F.col("qcell"), res, F.col("_ring")))
+        ).select(query_id_col, qlat_col, qlon_col, "cell_id")
+        cand = pts.join(F.broadcast(qx), "cell_id")
+        ranked = topk_per_group(
+            cand.withColumn("dist_m", dist),
+            [query_id_col],
+            [F.asc("dist_m"), F.asc(point_id_col)],
+            k,
+        ).select(query_id_col, point_id_col, "rank", "dist_m").persist()
+        stats = {
+            r[0]: (r[1], r[2])
+            for r in ranked.groupBy(query_id_col)
+            .agg(F.count(F.lit(1)), F.max("dist_m"))
+            .collect()
+        }
+        done_ids, still = [], []
+        for r in pending:
+            qid = r[query_id_col]
+            n, d_k = stats.get(qid, (0, None))
+            ring = rings[qid]
+            exact = ring >= r_full or (
+                n >= k and d_k <= ring_guarantee_m(r[qlat_col], ring, res)
+            )
+            if (not escalate) or exact or rounds >= max_rounds:
+                done_ids.append(qid)
+            else:
+                rings[qid] = min(ring * 2, r_full)
+                still.append(r)
+        if done_ids:
+            finals.append(ranked.filter(F.col(query_id_col).isin(done_ids)))
+        pending = still
+
+    out = finals[0]
+    for extra in finals[1:]:
+        out = out.unionByName(extra)
+    return out

@@ -310,51 +310,32 @@ _KNN_RES, _KNN_RING, _KNN_K = 5, 2, 5
 
 
 def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """☆ J4: kNN via k-ring candidate cells (res 5, ring 2) + exact
-    haversine ranking — the scale path next to knn_bruteforce."""
+    """☆ J4: kNN via k-ring candidate cells (res 5, starting ring 2) with
+    guaranteed ring escalation — the scale path next to knn_bruteforce.
+    Because escalation (operators/knn.ring_guarantee_m) provably reaches the
+    true top-k, the oracle is the EXACT brute-force kNN SQL: the ring is a
+    pruning accelerator, not a semantics change."""
     from .operators.knn import knn_kring
 
     qdf = spark.createDataFrame(
         [(q, la, lo) for q, la, lo in KNN_QUERIES], "query_id string, qlat double, qlon double"
     )
     return knn_kring(
-        _geo_events(spark, sf_dir), qdf, res=_KNN_RES, k_ring=_KNN_RING, k=_KNN_K
+        _geo_events(spark, sf_dir), qdf, res=_KNN_RES, k_ring=_KNN_RING, k=_KNN_K, escalate=True
     ).orderBy("query_id", "rank")
 
 
 def _knn_kring_sql() -> str:
-    from .functions import cells as C
     from .functions.geo import haversine_m_sql
 
-    res, ring, k = _KNN_RES, _KNN_RING, _KNN_K
-    nx, ny = C.nx_ny(res)
+    k = _KNN_K
     vals = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in KNN_QUERIES)
-    deltas = ", ".join(str(d) for d in range(-ring, ring + 1))
     return f"""
 WITH q(query_id, qlat, qlon) AS (VALUES {vals}),
-qc AS (
-  SELECT query_id, qlat, qlon,
-         CAST(GREATEST(LEAST(FLOOR((qlon + 180.0) / 360.0 * {nx}), {nx - 1}), 0) AS BIGINT) AS qx,
-         CAST(GREATEST(LEAST(FLOOR((qlat + 90.0) / 180.0 * {ny}), {ny - 1}), 0) AS BIGINT) AS qy
-  FROM q
-),
-ring AS (
-  SELECT query_id, qlat, qlon,
-         {res} * CAST({C.R_MULT} AS BIGINT)
-           + (((qx + dx.d) % {nx} + {nx}) % {nx}) * {C.X_MULT} + (qy + dy.d) AS cell_id
-  FROM qc
-  CROSS JOIN (SELECT unnest([{deltas}]) AS d) dx
-  CROSS JOIN (SELECT unnest([{deltas}]) AS d) dy
-  WHERE qy + dy.d BETWEEN 0 AND {ny - 1}
-),
-pts AS (
-  SELECT event_id, lat, lon, {C.latlng_to_cell_sql('lat', 'lon', res)} AS cell_id
-  FROM {GEO_EVENTS_SQL} g
-),
 c AS (
-  SELECT r.query_id, p.event_id,
-         ROUND({haversine_m_sql('p.lat', 'p.lon', 'r.qlat', 'r.qlon')}, 3) AS dist_m
-  FROM pts p JOIN ring r ON p.cell_id = r.cell_id
+  SELECT q.query_id, g.event_id,
+         ROUND({haversine_m_sql('g.lat', 'g.lon', 'q.qlat', 'q.qlon')}, 3) AS dist_m
+  FROM {GEO_EVENTS_SQL} g CROSS JOIN q
 )
 SELECT query_id, event_id, rank, dist_m FROM (
   SELECT query_id, event_id, dist_m,
