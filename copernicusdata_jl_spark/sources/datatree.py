@@ -209,6 +209,32 @@ class DataTree:
             if node.data is not None:
                 node.data.write.mode("overwrite").parquet(os.path.join(d, DATA_DIR))
 
+    def to_zip(self, zpath: str, mode: str = "error") -> None:
+        """S2/S10 zip twin (reference src/YAXTrees.jl:454-455 writes a
+        ``Zarr.ZipStore``): materialize the tree layout and pack it into a
+        single ``.zip`` archive. Refuses an existing target unless
+        mode='overwrite'. Trees are config/product-catalog scale (the
+        reference's ADF/product trees), so a driver-side archive is the
+        right tool; bulk data lives in parquet/Iceberg tables."""
+        import shutil
+        import tempfile
+        import zipfile
+
+        if os.path.exists(zpath) and mode != "overwrite":
+            raise FileExistsError(f"{zpath} exists; pass mode='overwrite'")
+        tmp = tempfile.mkdtemp(prefix="dtzip_")
+        try:
+            root = os.path.join(tmp, "tree")
+            self.to_parquet(root)
+            with zipfile.ZipFile(zpath + ".tmp", "w", zipfile.ZIP_STORED) as z:
+                for d, _dirs, files in sorted(os.walk(root)):
+                    for f in sorted(files):
+                        full = os.path.join(d, f)
+                        z.write(full, os.path.relpath(full, root))
+            os.replace(zpath + ".tmp", zpath)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
 
 # ---------------------------------------------------------------------------
 # S3: fill-value normalization
@@ -258,6 +284,33 @@ def open_parquet_datatree(spark: SparkSession, root: str, name: str | None = Non
     return tree
 
 
+def open_zip_datatree(
+    spark: SparkSession, path: str, name: str | None = None, group: str | None = None
+) -> DataTree:
+    """S2 zip-archive scan (reference src/YAXTrees.jl:327-336 sniffs
+    ``.zip`` and opens ``Zarr.ZipStore(mmap(path))``): extract the archived
+    node layout to a scratch directory and scan it as a parquet tree.
+    Extraction is driver-local and cached per (path, mtime) — tree archives
+    are catalog-scale; the parquet datasets inside remain lazy DataFrames."""
+    import tempfile
+    import zipfile
+
+    key = f"{os.path.abspath(path)}:{os.path.getmtime(path)}"
+    cache = _ZIP_EXTRACT_CACHE
+    tmp = cache.get(key)
+    if tmp is None or not os.path.isdir(tmp):
+        tmp = tempfile.mkdtemp(prefix="dtunzip_")
+        with zipfile.ZipFile(path) as z:
+            z.extractall(tmp)  # zipfile sanitizes absolute/.. member paths
+        cache[key] = tmp
+    base = os.path.basename(path)
+    default = base[:-4] if base.endswith(".zip") else base
+    return open_parquet_datatree(spark, tmp, name or default, group=group)
+
+
+_ZIP_EXTRACT_CACHE: dict[str, str] = {}
+
+
 def open_json_datatree(path: str, name: str | None = None) -> DataTree:
     """S5: JSON → tree for ADFs (reference src/YAXTrees.jl:468-511):
     dict→node, scalar/array→property (ADFs are driver-side config that
@@ -287,13 +340,16 @@ def open_datatree(
     group: str | None = None,
 ) -> DataTree:
     """S1: extension-sniffing scan dispatch (reference
-    src/YAXTrees.jl:320-359: .zarr→zarr, .SEN3→sen3, .json→json). Here:
-    .json→json tree, directory with node layout→parquet tree, .parquet →
-    single-table tree; explicit ``driver`` overrides sniffing; ``mapping``
-    triggers the mapped (rename-projection) scan."""
+    src/YAXTrees.jl:320-359: .zarr→zarr, .zip→ZipStore, .SEN3→sen3,
+    .json→json). Here: .json→json tree, .zip→archived parquet tree,
+    directory with node layout→parquet tree, .parquet → single-table tree;
+    explicit ``driver`` overrides sniffing; ``mapping`` triggers the mapped
+    (rename-projection) scan."""
     if driver is None:
         if path.endswith(".json"):
             driver = "json"
+        elif path.endswith(".zip") and not os.path.isdir(path):
+            driver = "zip"
         elif path.endswith(".parquet") and not os.path.isdir(os.path.join(path, "..", DATA_DIR)):
             driver = "table" if not os.path.isdir(path) or any(
                 f.endswith(".parquet") for f in os.listdir(path)
@@ -304,6 +360,8 @@ def open_datatree(
             raise ValueError(f"cannot infer driver for {path!r}")
     if driver == "json":
         return open_json_datatree(path, name)
+    if driver == "zip":
+        return open_zip_datatree(spark, path, name, group=group)
     if driver == "table":
         t = DataTree(name or os.path.splitext(os.path.basename(path))[0])
         t.data = spark.read.parquet(path)

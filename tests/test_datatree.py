@@ -208,3 +208,23 @@ def test_s3_config_wiring(spark, tmp_path):
         s3.load_profile(str(tmp_path / "missing.ini"))
     assert s3.content_type_for("a/b/.zattrs") == "application/json"
     assert s3.content_type_for("x.bin") == "application/octet-stream"
+
+
+def test_zip_roundtrip(tree, spark, tmp_path):
+    """S2 zip twin (reference test/test_yaxtree.jl:49-71 round-trips the
+    yax.zarr.zip fixture): to_zip → open_datatree sniffs .zip → isomorphic
+    tree with identical data and properties."""
+    zpath = str(tmp_path / "tree.zip")
+    tree.to_zip(zpath)
+    with pytest.raises(FileExistsError):
+        tree.to_zip(zpath)  # refuse overwrite like to_parquet/to_zarr
+    back = open_datatree(spark, zpath)
+    assert back.isomorphic(tree)
+    assert back.properties["mission"] == "S3"
+    want = sorted(map(tuple, tree["measurements"].data.collect()))
+    got = sorted(map(tuple, back["measurements"].data.collect()))
+    assert got == want
+    # group filter prunes at scan time, same as the directory scan
+    only_geo = open_datatree(spark, zpath, group="geo")
+    assert only_geo["measurements"].data is None
+    assert only_geo["measurements/geo"].data is not None
