@@ -29,6 +29,8 @@ HEADLINE = [
     "window_dedup",
     "dedup_exact",
     "minhash_lsh",
+    "minhash_lsh_fast",
+    "winnowing",
     "simhash",
     "token_quality",
     "extract_digest",

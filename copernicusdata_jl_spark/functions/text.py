@@ -256,12 +256,15 @@ def quality_score_sql(text_expr: str) -> str:
 
 def winnow_fingerprints(text: str, k: int = 8, w: int = 12) -> list[int]:
     """Winnowing (Schleimer et al. 2003): min hash per window of k-gram
-    rolling hashes — deterministic md5-based, no Python hash() salt."""
-    t = re.sub(r"[ \t\n\r\f]+", " ", text.lower()).strip()
+    rolling hashes — deterministic md5-based, no Python hash() salt. The
+    k-gram hash is the first 15 hex digits of the md5 (60 bits, always
+    positive), identical arithmetic to the DuckDB oracle twin
+    (:func:`winnow_sql`); edges are ASCII-space trimmed like the extractor."""
+    t = re.sub(r"[ \t\n\r\f]+", " ", text.lower()).strip(" ")
     if len(t) < k:
         return []
     hashes = [
-        int.from_bytes(hashlib.md5(t[j : j + k].encode("utf-8")).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+        int(hashlib.md5(t[j : j + k].encode("utf-8")).hexdigest()[:15], 16)
         for j in range(len(t) - k + 1)
     ]
     if len(hashes) <= w:
@@ -274,6 +277,34 @@ def winnow_fingerprints(text: str, k: int = 8, w: int = 12) -> list[int]:
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def winnow_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda s: winnow_fingerprints(s if s is not None else ""))
+
+
+def winnow_table_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", k: int = 8, w: int = 12
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` over a whole table —
+    identical normalization, 60-bit md5-prefix k-gram hashes, sliding-window
+    minima, distinct+sort — exploded to (id, fp) rows (docs shorter than k
+    contribute none)."""
+    s = f"trim(regexp_replace(lower({text_col}), '[ \\t\\n\\r\\f]+', ' ', 'g'), ' ')"
+    gram = f"CAST(('0x' || substr(md5(s[j:j+{k - 1}]), 1, 15)) AS BIGINT)"
+    return f"""
+WITH t AS (SELECT {id_col}, {s} AS s FROM {table}),
+h AS (
+  SELECT {id_col},
+         list_transform(range(1, strlen(s) - {k} + 2), j -> {gram}) AS hs
+  FROM t WHERE strlen(s) >= {k}
+),
+m AS (
+  SELECT {id_col},
+         CASE WHEN len(hs) <= {w} THEN [list_min(hs)]
+              ELSE list_sort(list_distinct(list_transform(
+                     range(1, len(hs) - {w} + 2), i -> list_min(hs[i:i+{w - 1}]))))
+         END AS fps
+  FROM h
+)
+SELECT {id_col}, unnest(fps) AS fp FROM m ORDER BY {id_col}, fp
+"""
 
 
 def render_html_rich(i: int) -> str:

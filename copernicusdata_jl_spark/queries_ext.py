@@ -276,8 +276,41 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ winnowing document fingerprints (Schleimer et al. 2003): Arrow-
+    batched rolling-hash kernel, exploded to (doc_id, fp) rows. Oracle is
+    an identical-arithmetic DuckDB pipeline (60-bit md5-prefix grams)."""
+    from .functions.text import winnow_udf
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(winnow_udf(F.col("text"))).alias("fp")).orderBy(
+        "doc_id", "fp"
+    )
+
+
+def _winnowing_sql() -> str:
+    from .functions.text import winnow_table_sql
+
+    return winnow_table_sql("documents")
+
+
+def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-flavor MinHash-LSH near-dup: xxhash64 base hash (JVM
+    intrinsic, ~20× cheaper than the md5 oracle flavor), same banding and
+    exact-Jaccard ≥ 0.8 verification. No SQL oracle (xxhash64 is not
+    portable) — rows-only check; the portable twin `minhash_lsh` is the
+    value-checked flavor. This is the path bench.py times as the headline."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_dedup(
+        docs, "doc_id", "text", ngram=3, num_hashes=_NH, bands=_BANDS,
+        threshold=_THRESH, fast=True, max_bucket=64,
+    ).orderBy("id_a", "id_b")
+
+
 EXT_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "minhash_lsh": (q_minhash_lsh, _minhash_sql()),
+    "minhash_lsh_fast": (q_minhash_lsh_fast, None),
+    "winnowing": (q_winnowing, _winnowing_sql()),
     "simhash": (q_simhash, _simhash_sql()),
     "simhash_neardup": (q_simhash_neardup, _simhash_neardup_sql()),
     "ngram_jaccard": (q_ngram_jaccard, _ngram_jaccard_sql()),
