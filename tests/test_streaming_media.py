@@ -150,3 +150,88 @@ def test_stream_dedup_latest_matches_batch(spark, tmp_path):
     ).filter(F.col("window_start") < F.lit(max_day))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path):
+    """Streaming twin of the lineage resume test (VERDICT r1 #7): stop a
+    windowed aggregation mid-stream, restart on the SAME checkpoint with an
+    availableNow drain into the same parquet sink — the combined output has
+    every closed window exactly once (file-source + file-sink exactly-once),
+    matching the batch plan."""
+    import time
+
+    import glob
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "files")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt_restart")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # files must arrive in event-time order (a real ingest tail): randomly
+    # sliced files would make earlier windows' rows arrive after the
+    # watermark already closed them — that is DROPPED-late-data semantics,
+    # not a restart bug. Eight contiguous time slices, mtime-ordered.
+    os.makedirs(src_dir)
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) / 8
+    for i in range(8):
+        a = lo + step * i
+        b = hi if i == 7 else lo + step * (i + 1)
+        cond = (F.col("ts") >= F.lit(a)) & (F.col("ts") <= F.lit(b) if i == 7 else F.col("ts") < F.lit(b))
+        tmp_out = str(tmp_path / f"slice{i}")
+        ev.filter(cond).coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dst = os.path.join(src_dir, f"f{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1700000000 + i * 10, 1700000000 + i * 10))
+    schema = ev.schema
+
+    def start(available_now: bool):
+        stream = windowed_counts(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+        )
+        writer = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # phase 1: process a prefix of the files, then stop mid-stream
+    q1 = start(available_now=False)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p and p["batchId"] >= 2:
+            break
+        time.sleep(0.3)
+    q1.stop()
+    q1.awaitTermination(30)
+
+    # phase 2: restart from the checkpoint, drain the rest
+    q2 = start(available_now=True)
+    q2.awaitTermination()
+
+    got_df = spark.read.parquet(sink)
+    # exactly-once: no window emitted twice across the restart
+    n_rows = got_df.count()
+    assert got_df.select("window_start", "event_type").distinct().count() == n_rows
+    # no loss: every watermark-closed window present. Final watermark =
+    # max_ts - 2d (the windowed_counts default), so a 1-day window flushes
+    # only if start + 1d <= max_ts - 2d: cut at max_day - 3d.
+    max_day = ev.select(
+        F.date_trunc("day", F.max(F.col("ts").cast("timestamp"))).alias("d")
+    ).first().d
+    cutoff = F.lit(max_day) - F.expr("INTERVAL 3 DAYS")
+    got = sorted(map(tuple, got_df.filter(F.col("window_start") < cutoff).collect()))
+    want = sorted(
+        map(
+            tuple,
+            windowed_counts(ev).filter(F.col("window_start") < cutoff).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
