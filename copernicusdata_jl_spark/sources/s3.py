@@ -10,8 +10,12 @@ configuration, not code: set endpoint/credentials/path-style once and every
 including the multipart committer that replaces the reference's per-object
 ``upload_zarr_to_s3`` walk (src/utils.jl:3-42).
 
-No live object store exists in this sandbox; tests assert the conf wiring
-and content-type inference table (src/utils.jl:24-29) only.
+Bulk-table I/O goes through s3a (conf above); the driver-side tree/catalog
+walk — the reference's ``upload_zarr_to_s3`` (src/utils.jl:3-42) and its
+re-open round-trip (test/test_cloud_storage.jl:30-102) — is implemented
+below with boto3 and smoke-tested against a real S3 API (an in-process moto
+server stands in for the reference's per-testset MinIO). The s3a executor
+path itself stays conf-only here: the container ships no hadoop-aws jar.
 """
 
 from __future__ import annotations
@@ -88,3 +92,66 @@ def configure_s3(
     conf.set("mapreduce.outputcommitter.factory.scheme.s3a",
              "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory")
     return spark
+
+
+# ---------------------------------------------------------------------------
+# S11/S12: driver-side object walk (upload_zarr_to_s3 analog, boto3-gated)
+# ---------------------------------------------------------------------------
+
+
+def s3_client(endpoint_url: str | None = None, access_key: str = "", secret_key: str = ""):
+    """boto3 S3 client for a (possibly custom-endpoint) store — the
+    CustomAWSConfig twin for driver-side catalog I/O."""
+    import boto3
+
+    return boto3.client(
+        "s3",
+        endpoint_url=endpoint_url,
+        aws_access_key_id=access_key or "anon",
+        aws_secret_access_key=secret_key or "anon",
+        region_name="us-east-1",
+    )
+
+
+def upload_tree_to_s3(local_root: str, bucket: str, prefix: str, client, overwrite: bool = False) -> int:
+    """Upload a materialized tree directory object-by-object with inferred
+    content types (reference src/utils.jl:3-42 walks the Zarr store the same
+    way). Refuses a non-empty target prefix unless ``overwrite`` — the
+    S10 refuse-overwrite rule extended to the store. Returns object count.
+
+    This is the CATALOG path (trees/ADFs/properties are small); bulk tables
+    write through the s3a committer configured in :func:`configure_s3`."""
+    existing = client.list_objects_v2(Bucket=bucket, Prefix=prefix.rstrip("/") + "/", MaxKeys=1)
+    if not overwrite and existing.get("KeyCount", 0) > 0:
+        raise FileExistsError(f"s3://{bucket}/{prefix} is not empty; pass overwrite=True")
+    n = 0
+    for d, _dirs, files in sorted(os.walk(local_root)):
+        for f in sorted(files):
+            full = os.path.join(d, f)
+            key = "/".join([prefix.rstrip("/"), os.path.relpath(full, local_root)])
+            with open(full, "rb") as fh:
+                client.put_object(
+                    Bucket=bucket, Key=key, Body=fh.read(), ContentType=content_type_for(f)
+                )
+            n += 1
+    return n
+
+
+def download_tree_from_s3(bucket: str, prefix: str, local_root: str, client) -> str:
+    """Mirror a tree prefix back to a local directory (the re-open half of
+    the reference's cloud round-trip, test/test_cloud_storage.jl:59-71)."""
+    paginator = client.get_paginator("list_objects_v2")
+    pfx = prefix.rstrip("/") + "/"
+    n = 0
+    for page in paginator.paginate(Bucket=bucket, Prefix=pfx):
+        for obj in page.get("Contents", []):
+            rel = obj["Key"][len(pfx):]
+            dst = os.path.join(local_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            body = client.get_object(Bucket=bucket, Key=obj["Key"])["Body"].read()
+            with open(dst, "wb") as fh:
+                fh.write(body)
+            n += 1
+    if n == 0:
+        raise FileNotFoundError(f"s3://{bucket}/{prefix}: no objects")
+    return local_root

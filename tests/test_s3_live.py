@@ -1,0 +1,80 @@
+"""Live object-store smoke (reference test/test_cloud_storage.jl:7-102
+spins MinIO per testset and round-trips a tree through s3://): here an
+in-process moto S3 server plays MinIO, and the driver-side catalog walk
+(upload with inferred content types → list → download → re-open) runs
+against the real S3 wire protocol. The s3a executor path stays conf-only
+(no hadoop-aws jar in this container) and is covered by the configure_s3
+wiring test in test_datatree.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from copernicusdata_jl_spark.sources import DataTree, open_datatree
+from copernicusdata_jl_spark.sources import s3 as S3
+
+moto = pytest.importorskip("moto")
+
+
+@pytest.fixture(scope="module")
+def s3_server():
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    yield f"http://{host}:{port}"
+    server.stop()
+
+
+@pytest.fixture()
+def client(s3_server):
+    c = S3.s3_client(endpoint_url=s3_server, access_key="test", secret_key="test")
+    c.create_bucket(Bucket="engine-test")
+    yield c
+
+
+def test_tree_roundtrip_through_s3(spark, client, tmp_path):
+    """to_parquet → upload walk → download → open_datatree: isomorphic tree,
+    identical data, content types inferred per object (S10/S11/S12)."""
+    t = DataTree("prod", properties={"mission": "S3A"})
+    t.add_child("meas", spark.range(20).select("id", (F.col("id") * 1.5).alias("v")))
+    local = str(tmp_path / "tree")
+    t.to_parquet(local)
+
+    n = S3.upload_tree_to_s3(local, "engine-test", "catalog/prod", client)
+    assert n >= 3  # properties jsons + parquet parts
+
+    # refuse-overwrite extends to the store prefix
+    with pytest.raises(FileExistsError):
+        S3.upload_tree_to_s3(local, "engine-test", "catalog/prod", client)
+    assert S3.upload_tree_to_s3(local, "engine-test", "catalog/prod", client, overwrite=True) == n
+
+    # content types ride the objects (reference src/utils.jl:24-29)
+    head = client.head_object(Bucket="engine-test", Key="catalog/prod/_properties.json")
+    assert head["ContentType"] == "application/json"
+    keys = [
+        o["Key"]
+        for o in client.list_objects_v2(Bucket="engine-test", Prefix="catalog/prod/")["Contents"]
+    ]
+    pq = [k for k in keys if k.endswith(".parquet")]
+    assert pq
+    assert (
+        client.head_object(Bucket="engine-test", Key=pq[0])["ContentType"]
+        == "application/octet-stream"
+    )
+
+    back_dir = str(tmp_path / "back")
+    S3.download_tree_from_s3("engine-test", "catalog/prod", back_dir, client)
+    back = open_datatree(spark, back_dir, name="prod")
+    assert back.isomorphic(t)
+    assert back.properties["mission"] == "S3A"
+    assert sorted(map(tuple, back["meas"].data.collect())) == sorted(
+        map(tuple, t["meas"].data.collect())
+    )
+
+
+def test_download_missing_prefix_raises(client, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        S3.download_tree_from_s3("engine-test", "nope/nothing", str(tmp_path / "x"), client)
