@@ -13,9 +13,14 @@ Scale design notes (10^12 docs):
 - Pages are generated DISTRIBUTED (spark.range → column exprs + one Arrow
   UDF for html), then written to parquet — generation never bottlenecks on
   the driver and the benchmark measures the pipeline, not the generator.
+- The production table layout is BUCKETED BY url (write_pages_bucketed —
+  the Iceberg bucket-partition analog): the url dedup then plans with ZERO
+  Exchange, so html bytes never cross a shuffle and per-pass shuffle volume
+  is independent of executor count (the N→4N scaling property). On a plain
+  table the aggregate dedup still partial-aggregates map-side.
 - The only Python in the hot path is the extractor + PIP kernels, both
-  Arrow-batched. Everything else (dedup window, cell index, joins, counts,
-  lineage) is whole-stage-codegen JVM work.
+  Arrow-batched. Everything else (dedup aggregate, cell index, joins,
+  counts, lineage) is whole-stage-codegen JVM work.
 - The cover join broadcasts compacted-and-uncompacted footprint covers
   (small side); the pages table never shuffles before the per-tile agg,
   which partial-aggregates map-side to one row per tile.
@@ -77,23 +82,82 @@ def build_pages(spark: SparkSession, n: int, partitions: int = 32, rich: bool = 
     )
 
 
-def prepare_corpus(pages: DataFrame) -> dict[str, DataFrame]:
+def prepare_corpus(pages: DataFrame, strategy: str = "aggregate") -> dict[str, DataFrame]:
     """Dedup + extraction: the corpus half of the pipeline.
 
-    1. dedup FIRST: latest warc_ts per url. The window shuffle carries
-       html but not text, and the extractor then runs once per surviving
-       url instead of once per crawl duplicate — at 10^12 docs with
-       ~5-30% recrawl duplication this is the single biggest saving.
+    1. dedup FIRST: latest warc_ts per url, so the extractor runs once per
+       surviving url instead of once per crawl duplicate — at 10^12 docs
+       with ~5-30% recrawl duplication this is the single biggest saving.
+
+       ``strategy``:
+       - "aggregate" (default): ``groupBy(url).agg(max_by(payload, key))``
+         — a hash aggregate, no sort; ties on warc_ts break
+         deterministically on the html bytes. Over a pages table BUCKETED
+         BY url (``write_pages_bucketed`` — the Iceberg
+         bucket-partitioned-table analog) Catalyst elides the Exchange
+         entirely: html NEVER crosses a shuffle (plan-asserted in
+         tests/test_flagship.py). Over a plain table the one shuffle it
+         needs partial-aggregates map-side, collapsing same-partition
+         duplicates before the wire.
+       - "window": row_number over (url, warc_ts desc) — the classic form;
+         shuffles+sorts full rows on a non-bucketed source. Kept as the
+         readable twin; identical output (tested).
     2. extractor + digest (the per-row invariant gate). JVM codegen
        expression — byte-identical to the Arrow pandas kernel (tested),
        but no Arrow round-trip for the hottest column at 10^12 docs.
     """
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    deduped = pages.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    if strategy == "window":
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        deduped = (
+            pages.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        )
+    elif strategy == "aggregate":
+        payload = [c for c in pages.columns if c != "url"]
+        key = F.struct(F.col("warc_ts"), F.col("html"))
+        deduped = pages.groupBy("url").agg(
+            *[F.max_by(c, key).alias(c) for c in payload]
+        ).select(pages.columns)
+    else:
+        raise ValueError(f"unknown dedup strategy {strategy!r}")
     extracted = deduped.withColumn("text", extract_text_expr(F.col("html"))).withColumn(
         "text_sha256", F.sha2(F.col("text"), 256)
     )
     return {"deduped": deduped, "extracted": extracted}
+
+
+def write_pages_bucketed(
+    pages: DataFrame, table: str = "pages_bucketed", buckets: int = 128
+) -> None:
+    """Ingest-side layout: persist the pages table BUCKETED BY url — the
+    parquet analog of an Iceberg table partitioned by ``bucket(N, url)``.
+    Paid once at ingest (the repartition aligns one file per bucket:
+    repartition(N, url) and bucketBy(N, url) use the same Murmur3 hash);
+    every url-keyed consumer afterwards (dedup, resume anti-joins) runs
+    shuffle-free. At 10^12 docs this converts the dedup from the largest
+    shuffle in the pipeline into a purely map-side aggregation."""
+    (
+        pages.repartition(buckets, "url")
+        .write.bucketBy(buckets, "url")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def register_pages_bucketed(
+    spark: SparkSession, location: str, table: str = "pages_bucketed", buckets: int = 128
+) -> DataFrame:
+    """Re-attach a bucketed pages table written by another session (the
+    in-memory catalog forgets metadata; the Iceberg catalog would not).
+    The DDL must repeat the bucket spec so Catalyst trusts the layout."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"""CREATE TABLE {table}
+        (url string, warc_ts timestamp, html binary, lang string,
+         lat double, lon double)
+        USING parquet CLUSTERED BY (url) INTO {buckets} BUCKETS
+        LOCATION '{location}'"""
+    )
+    return spark.table(table)
 
 
 def spatial_products(
@@ -129,9 +193,10 @@ def flagship_pipeline(
     footprints: list[dict] | None = None,
     res: int = 7,
     checkpoint_path: str | None = None,
+    dedup_strategy: str = "aggregate",
 ) -> dict[str, DataFrame]:
     """The full north-rule pipeline as lazy DataFrames."""
-    corpus = prepare_corpus(pages)
+    corpus = prepare_corpus(pages, strategy=dedup_strategy)
     spatial = spatial_products(corpus["extracted"], footprints, res)
     return {**corpus, **spatial}
 
@@ -140,9 +205,16 @@ def run_flagship(
     spark: SparkSession,
     pages_path: str,
     checkpoint_path: str | None = None,
+    dedup_strategy: str = "aggregate",
 ) -> dict[str, float]:
-    """Execute the pipeline over a parquet pages table; return metrics."""
-    pages = spark.read.parquet(pages_path)
+    """Execute the pipeline over a pages table and return metrics.
+    ``pages_path`` is a parquet path, or ``table:NAME`` for a catalog table
+    (the bucketed-by-url layout from :func:`write_pages_bucketed` — the
+    production design: dedup then runs without any exchange)."""
+    if pages_path.startswith("table:"):
+        pages = spark.table(pages_path[len("table:"):])
+    else:
+        pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
     t0 = time.perf_counter()
     # pass 1 — the corpus product: extraction + digest over EVERY deduped
@@ -152,7 +224,7 @@ def run_flagship(
     # past the spatial filter and only extracts the ~9% of pages that land
     # in a footprint. html is dropped from the persisted corpus: downstream
     # needs text only, and not caching the raw bytes halves the footprint.
-    extracted = prepare_corpus(pages)["extracted"].drop("html").persist()
+    extracted = prepare_corpus(pages, strategy=dedup_strategy)["extracted"].drop("html").persist()
     corpus = extracted.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("text")).alias("chars"),

@@ -61,3 +61,40 @@ def test_run_flagship_metrics(spark, pages_path, tmp_path):
     assert m["n_tile_assignments"] >= m["n_tiles"] > 0
     ck = spark.read.parquet(str(tmp_path / "ck"))
     assert ck.count() == int(m["n_lineage_buckets"])
+
+
+def test_dedup_strategies_identical(spark, pages_path):
+    """window and aggregate dedup must produce the same surviving rows."""
+    pages = spark.read.parquet(pages_path)
+    a = sorted(map(tuple, flagship.prepare_corpus(pages, "window")["deduped"].collect()))
+    b = sorted(map(tuple, flagship.prepare_corpus(pages, "aggregate")["deduped"].collect()))
+    assert a == b and len(a) == 3000
+
+
+def test_bucketed_dedup_is_shuffle_free(spark, pages_path):
+    """Production layout (VERDICT r1 top-next): over the url-bucketed pages
+    table (the Iceberg bucket-partition analog), the dedup + extraction
+    segment plans with ZERO Exchange — html never crosses a shuffle."""
+    pages = spark.read.parquet(pages_path)
+    flagship.write_pages_bucketed(pages, table="pages_bucketed_test", buckets=8)
+    t = spark.table("pages_bucketed_test")
+    for strategy in ("aggregate", "window"):
+        corpus = flagship.prepare_corpus(t, strategy=strategy)["extracted"]
+        plan = corpus._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{strategy} dedup shuffled on bucketed input"
+    # and the answer is identical to the plain-parquet path
+    a = sorted(map(tuple, flagship.prepare_corpus(t, "aggregate")["deduped"].collect()))
+    b = sorted(map(tuple, flagship.prepare_corpus(pages, "window")["deduped"].collect()))
+    assert a == b
+    # cross-session re-registration DDL reads the same rows shuffle-free
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    import os
+
+    t2 = flagship.register_pages_bucketed(
+        spark, os.path.join(wh, "pages_bucketed_test"), table="pages_bucketed_reg", buckets=8
+    )
+    corpus2 = flagship.prepare_corpus(t2, "aggregate")["extracted"]
+    assert "Exchange" not in corpus2._jdf.queryExecution().executedPlan().toString()
+    assert t2.count() == 3150
+    spark.sql("DROP TABLE IF EXISTS pages_bucketed_reg")
+    spark.sql("DROP TABLE IF EXISTS pages_bucketed_test")
