@@ -63,10 +63,20 @@ def expected_text(i: int) -> str:
 # (?![0-9A-Za-z_]) rather than \b: Python \b is Unicode-aware and Java \b is
 # ASCII in this position, so the same pattern text would diverge on inputs
 # like "<scripté" — the lookahead is identical ASCII semantics in both.
-_RE_SCRIPT = re.compile(r"<script(?![0-9A-Za-z_])[^>]*>.*?</script>", re.S | re.I)
-_RE_STYLE = re.compile(r"<style(?![0-9A-Za-z_])[^>]*>.*?</style>", re.S | re.I)
-_RE_TAG = re.compile(r"<[^>]*>")
-_RE_WS = re.compile(r"[ \t\n\r\f]+")
+#
+# Pass fusion (bandwidth, r2): script+style removal is ONE alternation pass,
+# and tag-strip + whitespace-collapse fuse into ONE pass replacing each
+# maximal run of (tags ∪ ws chars) with a single space — provably the same
+# output as strip-then-collapse, at ~half the full-string rebuilds. The
+# extractor is memory-bandwidth-bound at 32 threads (each regex pass
+# rewrites the whole page), so fewer passes scale better. Overlapping
+# <script>/<style> blocks now resolve leftmost-first (all four derivations
+# changed together; fixtures have no such nesting).
+_BOUND = r"(?![0-9A-Za-z_])"
+_RE_BLOCKS = re.compile(
+    rf"<script{_BOUND}[^>]*>.*?</script>|<style{_BOUND}[^>]*>.*?</style>", re.S | re.I
+)
+_RE_TAG_WS = re.compile(r"(?:<[^>]*>|[ \t\n\r\f])+")
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
 
@@ -78,12 +88,11 @@ def extract_text_py(html: str) -> str:
     that the collapse class leaves behind, while Spark ``trim()`` removes
     only 0x20 — pinning both to ASCII space keeps the python/pandas/JVM
     paths byte-identical on real-world whitespace (see ADVICE r1)."""
-    s = _RE_SCRIPT.sub(" ", html)
-    s = _RE_STYLE.sub(" ", s)
-    s = _RE_TAG.sub(" ", s)
+    s = _RE_BLOCKS.sub(" ", html)
+    s = _RE_TAG_WS.sub(" ", s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
-    return _RE_WS.sub(" ", s).strip(" ")
+    return s.strip(" ")
 
 
 def extract_text_batch(html: pd.Series) -> pd.Series:
@@ -99,12 +108,11 @@ def extract_text_batch(html: pd.Series) -> pd.Series:
     if len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
         s = s.str.decode("utf-8", errors="replace")
     s = s.astype("string")
-    s = s.str.replace(_RE_SCRIPT, " ", regex=True)
-    s = s.str.replace(_RE_STYLE, " ", regex=True)
-    s = s.str.replace(_RE_TAG, " ", regex=True)
+    s = s.str.replace(_RE_BLOCKS, " ", regex=True)
+    s = s.str.replace(_RE_TAG_WS, " ", regex=True)
     for ent, ch in _ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
-    return s.str.replace(_RE_WS, " ", regex=True).str.strip(" ")
+    return s.str.strip(" ")
 
 
 @F.pandas_udf(T.StringType())
@@ -133,12 +141,13 @@ def extract_text_expr(html: Column) -> Column:
     canonical one for ``text_sha256`` (Python's replacement-char policy may
     emit different U+FFFD counts)."""
     s = html.cast("string")
-    s = F.regexp_replace(s, r"(?is)<script(?![0-9A-Za-z_])[^>]*>.*?</script>", " ")
-    s = F.regexp_replace(s, r"(?is)<style(?![0-9A-Za-z_])[^>]*>.*?</style>", " ")
-    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    s = F.regexp_replace(
+        s, r"(?is)<script(?![0-9A-Za-z_])[^>]*>.*?</script>|<style(?![0-9A-Za-z_])[^>]*>.*?</style>", " "
+    )
+    s = F.regexp_replace(s, r"(?:<[^>]*>|[ \t\n\r\f])+", " ")
     for ent, ch in _ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(s, r"[ \t\n\r\f]+", " "))
+    return F.trim(s)
 
 
 def with_extracted_text(
@@ -157,16 +166,20 @@ def extract_text_sql(html_expr: str) -> str:
     """ANSI-SQL twin of the extractor (DuckDB/RE2-compatible), used as the
     independent oracle for digest parity. Mirrors extract_text_py exactly
     for HTML without nested/malformed tags. RE2 lacks lookahead, so the
-    ASCII tag boundary is the equivalent alternation (>| non-word char)."""
-    s = f"regexp_replace({html_expr}, '<script(>|[^>0-9A-Za-z_][^>]*>).*?</script>', ' ', 'gsi')"
-    s = f"regexp_replace({s}, '<style(>|[^>0-9A-Za-z_][^>]*>).*?</style>', ' ', 'gsi')"
-    s = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
+    ASCII tag boundary is the equivalent alternation (>| non-word char);
+    same fused passes as the engine (script|style, then tags|ws runs)."""
+    s = (
+        f"regexp_replace({html_expr}, "
+        f"'<script(>|[^>0-9A-Za-z_][^>]*>).*?</script>|<style(>|[^>0-9A-Za-z_][^>]*>).*?</style>'"
+        f", ' ', 'gsi')"
+    )
+    s = f"regexp_replace({s}, '(<[^>]*>|[ \\t\\n\\r\\f])+', ' ', 'g')"
     for ent, ch in _ENTITIES:
         ch_sql = ch.replace("'", "''")
         s = f"replace({s}, '{ent}', '{ch_sql}')"
     # trim(x, ' '): DuckDB's one-arg trim strips Unicode whitespace; the
     # engine contract is ASCII-space-only edges on every path
-    return f"trim(regexp_replace({s}, '[ \\t\\n\\r\\f]+', ' ', 'g'), ' ')"
+    return f"trim({s}, ' ')"
 
 
 # ---------------------------------------------------------------------------
