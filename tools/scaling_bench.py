@@ -44,7 +44,7 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BUCKETS = 128
+BUCKETS = 256
 
 RUN_SNIPPET = """
 import json, os, sys, time
@@ -132,7 +132,7 @@ def main() -> None:
     cooldown = int(sys.argv[3]) if len(sys.argv) > 3 else 180
     # cache the generated table across invocations (generation itself is a
     # 32-core burst that would otherwise drain credits right before trial 0)
-    wh = os.path.join(tempfile.gettempdir(), f"scaling_pages_bucketed_{n}")
+    wh = os.path.join(tempfile.gettempdir(), f"scaling_pages_bucketed_{n}_b{BUCKETS}")
     location = os.path.join(wh, "scaling_pages")
     if not os.path.isdir(location):
         gen = subprocess.run(
