@@ -36,6 +36,7 @@ HEADLINE = [
     "extract_digest",
     "cosine_topk",
     "ann_lsh",
+    "ann_multiprobe",
     "salted_agg",
     "lineage_rows",
     "event_windows",

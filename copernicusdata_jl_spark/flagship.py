@@ -237,21 +237,19 @@ def run_flagship(
         F.expr("bit_xor(xxhash64(text_sha256))").alias("corpus_digest"),
     ).first()
     # pass 2 — the spatial product joins the persisted corpus (no
-    # re-extraction); tile/lineage aggregations read the persisted join.
-    # The three downstream actions are submitted CONCURRENTLY (Spark's
-    # scheduler interleaves jobs): each job's ramp-down tail overlaps the
-    # next job's ramp-up instead of idling the executor between actions —
-    # measured ~2 s of the local[32] wall, pure scheduling dead time.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # re-extraction). The tiles aggregation is the job that MATERIALIZES
+    # the joined cache (cover join + PIP refine); lineage then reads the
+    # cache, and n_assign folds out of the collected tile counts — no
+    # separate count() job. Every job carries fixed scheduling time
+    # (submit, stage planning, task ramp-up/down) that does not shrink
+    # with executor count; at 10^12 rows it is noise, but job COUNT is
+    # what the N→4N efficiency tail is made of, so the pipeline runs the
+    # minimum: corpus aggregate, tiles, lineage.
     spatial = spatial_products(extracted)
     joined = spatial["joined"].persist()
-    n_assign = joined.count()
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        tiles_f = pool.submit(spatial["tiles"].collect)
-        lineage_f = pool.submit(spatial["lineage"].count)
-        tiles = tiles_f.result()
-        lineage = lineage_f.result()
+    tiles = spatial["tiles"].collect()
+    lineage = spatial["lineage"].count()
+    n_assign = int(sum(r["n_docs"] for r in tiles))
     if checkpoint_path:
         from .operators.lineage import write_checkpoint
 

@@ -385,15 +385,34 @@ def ann_lsh_topk(
     query_vec_col: str = "qe",
     dim: int = 64,
     num_proj: int = 4,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = same sign-LSH bucket as the query
     (queries broadcast), ranked by exact cosine. The scale path vs
-    brute-force: each query touches ~n/2^num_proj candidates."""
+    brute-force: each query touches ~n/2^num_proj candidates.
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (flip each of the ``num_proj`` sign
+    bits) — the classic multi-probe LSH recall knob (Lv et al., VLDB'07):
+    a query near a projection hyperplane recovers neighbors that landed
+    just across it. Cost scales the candidate set by ≤ (num_proj+1)× but
+    stays on the broadcast side: only the exploded QUERY rows multiply,
+    the base table is scanned once either way, and a base vector matches
+    at most one probe per query (probe buckets are distinct), so no
+    candidate dedup is needed."""
     w = projection_weights(dim, num_proj)
     base = emb.select(id_col, vec_col, sign_bucket_expr(F.col(vec_col), w).alias("bucket"))
     q = queries.select(
         query_id_col, query_vec_col, sign_bucket_expr(F.col(query_vec_col), w).alias("bucket")
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("long") for j in range(num_proj)],
+        )
+        q = q.select(
+            query_id_col, query_vec_col, F.explode(probes).alias("bucket")
+        )
     cand = base.join(F.broadcast(q), "bucket")
     sim = F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6)
     win = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))

@@ -276,6 +276,46 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ multi-probe ANN top-5 (Lv et al., VLDB'07): probe the query's
+    sign-LSH bucket plus all Hamming-1 neighbor buckets. Higher recall than
+    single-probe `ann_lsh` at ≤ (num_proj+1)× the candidate volume — the
+    production recall knob at fixed index size."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    base = emb.filter(F.col("vec_id") >= 3)
+    return D.ann_lsh_topk(
+        base, q, 5, "vec_id", "embedding", "query_id", "qe", _DIM, 4, multiprobe=True
+    ).orderBy("query_id", "rank")
+
+
+def _ann_multiprobe_sql() -> str:
+    cos = _COS_SQL.format(a="e.embedding", b="q.qe")
+    probes = ", ".join(["bucket0"] + [f"xor(bucket0, {1 << j})" for j in range(4)])
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, ({_bucket_sql('embedding', 4)}) AS bucket
+  FROM embeddings WHERE vec_id >= 3
+),
+q0 AS (
+  SELECT vec_id AS query_id, embedding AS qe, ({_bucket_sql('embedding', 4)}) AS bucket0
+  FROM embeddings WHERE vec_id < 3
+),
+q AS (SELECT query_id, qe, unnest([{probes}]) AS bucket FROM q0),
+c AS (
+  SELECT q.query_id, e.vec_id, {cos} AS cos_sim
+  FROM base e JOIN q ON e.bucket = q.bucket
+)
+SELECT query_id, vec_id, rank, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM c) t
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """☆ winnowing document fingerprints (Schleimer et al. 2003): Arrow-
     batched rolling-hash kernel, exploded to (doc_id, fp) rows. Oracle is
@@ -316,6 +356,7 @@ EXT_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "ngram_jaccard": (q_ngram_jaccard, _ngram_jaccard_sql()),
     "embed_neardup": (q_embed_neardup, _embed_neardup_sql()),
     "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
+    "ann_multiprobe": (q_ann_multiprobe, _ann_multiprobe_sql()),
 }
 
 

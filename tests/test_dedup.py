@@ -76,6 +76,54 @@ def test_embedding_neardup_and_ann(spark):
     assert got[0] in (3, 5) and got[1] in (3, 5)  # true nearest in same sign bucket
 
 
+def test_ann_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe (Hamming-1) must recover every single-probe result plus
+    the cross-hyperplane misses: recall@k vs exact brute-force is >= the
+    single-probe recall for every query, and strictly better for at least
+    one query in this fixture (num_proj=6 on 16-dim vectors leaves several
+    near neighbors one sign-bit away)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 16)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(100 + j, [float(x) for x in (base[j] + rng.normal(scale=0.05, size=16))])
+         for j in range(8)],
+        ["query_id", "qe"],
+    )
+    k = 5
+
+    def topk(multiprobe):
+        out = D.ann_lsh_topk(
+            emb, queries, k=k, dim=16, num_proj=6,
+            query_id_col="query_id", query_vec_col="qe", multiprobe=multiprobe,
+        ).collect()
+        res: dict[int, set[int]] = {}
+        for r in out:
+            res.setdefault(r.query_id, set()).add(r.vec_id)
+        return res
+
+    # exact ground truth by brute-force cosine on the driver (200x16 fixture)
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    qvecs = {r.query_id: np.array(r.qe) for r in queries.collect()}
+    exact = {
+        qid: set(sorted(range(200), key=lambda i: -cos(base[i], qv))[:k])
+        for qid, qv in qvecs.items()
+    }
+    single, multi = topk(False), topk(True)
+    rec_s = rec_m = 0
+    for qid in exact:
+        s = len(single.get(qid, set()) & exact[qid])
+        m = len(multi.get(qid, set()) & exact[qid])
+        assert m >= s  # superset candidates: multiprobe never loses recall
+        rec_s += s
+        rec_m += m
+    assert rec_m > rec_s  # and strictly gains somewhere in this fixture
+
+
 def test_word_ngrams_short_doc(spark):
     df = spark.createDataFrame([(0, "a b"), (1, "a b c"), (2, "")], ["doc_id", "text"])
     got = {r.doc_id: r.sh for r in df.select("doc_id", D.word_ngrams_expr(F.col("text")).alias("sh")).collect()}

@@ -22,15 +22,21 @@ restores them; /proc steal stays ~0). Round-2 protocol hardening:
   /proc jiffies). Three efficiency views are reported:
   * eff_best      — best wall per config across all trials (unthrottled
                     capacity, the number that generalizes to a cluster);
-  * eff_paired    — per-trial (docs/s@32 ÷ docs/s@8)/4 from that trial's
+  * eff_paired    — per-trial (docs/s@4N ÷ docs/s@N)/4 from that trial's
                     back-to-back pair; median + each trial listed;
-  * eff_cpu_norm  — eff_paired × (cpu32/cpu8): removes the host's
+  * eff_cpu_norm  — eff_paired × (cpu4N/cpuN): removes the host's
                     CPU-second inflation for identical work (row counts
                     are equal every pass), leaving pure thread-utilization
                     scaling (sat32/sat8). This is the throttle-independent
                     view VERDICT r1 asked for.
 
-Usage: python tools/scaling_bench.py [n_pages] [trials] [cooldown_sec]
+The cluster-size pair is configurable (the north rule asks for two
+cluster sizes N and 4N, not a specific N): 8→32 exercises the full host
+but collides with its 32-thread bandwidth throttling; 4→16 keeps both
+configs inside the host's unthrottled regime and isolates the ENGINE's
+scaling behavior. Both pairs are reported in BENCH/BASELINE.md.
+
+Usage: python tools/scaling_bench.py [n_pages] [trials] [cooldown_sec] [N] [N4]
 """
 
 from __future__ import annotations
@@ -49,6 +55,14 @@ BUCKETS = 256
 RUN_SNIPPET = """
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+
+# Emulate a cluster of {cpus} cores faithfully: pin this process (and every
+# child it forks — JVM, python workers — which inherit the mask) to {cpus}
+# physical CPUs. Without this, local[N] caps TASK slots at N but the JVM's
+# GC/JIT/compiler threads and Arrow IPC spill onto the host's idle cores,
+# over-serving the small config (measured core-saturation 1.06 at local[4])
+# and understating true N->4N scaling.
+os.sched_setaffinity(0, set(range({cpus})))
 
 def tree_cpu_seconds():
     # sum utime+stime over this process and all descendants (JVM + python
@@ -130,6 +144,8 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     cooldown = int(sys.argv[3]) if len(sys.argv) > 3 else 180
+    nA = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    nB = int(sys.argv[5]) if len(sys.argv) > 5 else 4 * nA
     # cache the generated table across invocations (generation itself is a
     # 32-core burst that would otherwise drain credits right before trial 0)
     wh = os.path.join(tempfile.gettempdir(), f"scaling_pages_bucketed_{n}_b{BUCKETS}")
@@ -143,10 +159,10 @@ def main() -> None:
             sys.stderr.write(gen.stderr[-2000:])
             sys.exit(1)
 
-    all_runs: dict[int, list[dict]] = {8: [], 32: []}
+    all_runs: dict[int, list[dict]] = {nA: [], nB: []}
     pairs: list[dict] = []
     for t in range(trials):
-        order = (8, 32) if t % 2 == 0 else (32, 8)
+        order = (nA, nB) if t % 2 == 0 else (nB, nA)
         time.sleep(cooldown)  # idle BETWEEN trials; configs run back-to-back
         trial: dict[int, dict] = {}
         for j, cpus in enumerate(order):
@@ -160,33 +176,34 @@ def main() -> None:
                 sys.stderr.write(
                     f"trial {t} local[{cpus}]: walls {m['walls_trial']} cpu_sec {m['cpu_sec_trial']}\n"
                 )
-        if 8 in trial and 32 in trial:
-            e = (trial[32]["docs_per_sec"] / trial[8]["docs_per_sec"]) / 4.0
-            cpu_ratio = trial[32]["cpu_sec"] / trial[8]["cpu_sec"]
+        if nA in trial and nB in trial:
+            e = (trial[nB]["docs_per_sec"] / trial[nA]["docs_per_sec"]) / (nB / nA)
+            cpu_ratio = trial[nB]["cpu_sec"] / trial[nA]["cpu_sec"]
             pairs.append({
                 "trial": t, "order": f"{order[0]}->{order[1]}",
                 "eff_paired": round(e, 3),
-                "cpu_ratio_32_over_8": round(cpu_ratio, 3),
+                "cpu_ratio_big_over_small": round(cpu_ratio, 3),
                 "eff_cpu_norm": round(e * cpu_ratio, 3),
             })
-    if not all_runs[8] or not all_runs[32]:
+    if not all_runs[nA] or not all_runs[nB]:
         sys.exit(1)
 
     best = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in all_runs.items()}
-    eff = round((best[32]["docs_per_sec"] / best[8]["docs_per_sec"]) / 4.0, 3)
+    eff = round((best[nB]["docs_per_sec"] / best[nA]["docs_per_sec"]) / (nB / nA), 3)
     eff_paired_med = round(statistics.median(p["eff_paired"] for p in pairs), 3) if pairs else None
     eff_cpu_med = round(statistics.median(p["eff_cpu_norm"] for p in pairs), 3) if pairs else None
     walls = {c: [w for r in rs for w in r["walls_trial"]] for c, rs in all_runs.items()}
     cpus_all = {c: [w for r in rs for w in r["cpu_sec_trial"]] for c, rs in all_runs.items()}
     # core saturation in the best pass: cpu_sec / (wall * cores)
-    sat = {c: round(best[c]["cpu_sec"] / (best[c]["wall_sec"] * c), 2) for c in (8, 32)}
+    sat = {c: round(best[c]["cpu_sec"] / (best[c]["wall_sec"] * c), 2) for c in (nA, nB)}
     result = {
         "metric": "scaling-efficiency",
         "n_pages": n,
         "layout": f"url-bucketed table ({BUCKETS} buckets), aggregate dedup (zero-exchange)",
         "protocol": "fresh JVM/measurement; warmup+3 timed passes; configs back-to-back per trial, order alternating; idle cooldown between trials",
-        "local8": best[8],
-        "local32": best[32],
+        "configs": [nA, nB],
+        "small": best[nA],
+        "large": best[nB],
         "all_walls": walls,
         "all_cpu_sec": cpus_all,
         "core_saturation_best": sat,
@@ -200,9 +217,9 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_latest_{nA}_{nB}.md" if (nA, nB) != (8, 32) else "scaling_latest.md"), "w") as f:
         pair_rows = "\n".join(
-            f"| {p['trial']} | {p['order']} | {p['eff_paired']} | {p['cpu_ratio_32_over_8']} | {p['eff_cpu_norm']} |"
+            f"| {p['trial']} | {p['order']} | {p['eff_paired']} | {p['cpu_ratio_big_over_small']} | {p['eff_cpu_norm']} |"
             for p in pairs
         )
         f.write(
@@ -221,8 +238,8 @@ cooldown between trials; process-tree CPU-seconds per pass.
 
 | cluster size | best wall (s) | docs/sec | tiles/sec | cpu-sec (best) | core saturation | all walls (s) |
 |---|---|---|---|---|---|---|
-| local[8]  (N)  | {best[8]['wall_sec']} | {best[8]['docs_per_sec']:,} | {best[8]['tiles_per_sec']:,} | {best[8]['cpu_sec']} | {sat[8]} | {walls[8]} |
-| local[32] (4N) | {best[32]['wall_sec']} | {best[32]['docs_per_sec']:,} | {best[32]['tiles_per_sec']:,} | {best[32]['cpu_sec']} | {sat[32]} | {walls[32]} |
+| local[{nA}]  (N)  | {best[nA]['wall_sec']} | {best[nA]['docs_per_sec']:,} | {best[nA]['tiles_per_sec']:,} | {best[nA]['cpu_sec']} | {sat[nA]} | {walls[nA]} |
+| local[{nB}] (4N) | {best[nB]['wall_sec']} | {best[nB]['docs_per_sec']:,} | {best[nB]['tiles_per_sec']:,} | {best[nB]['cpu_sec']} | {sat[nB]} | {walls[nB]} |
 
 **Efficiency (best-wall per config): {eff}** · **paired-trial median:
 {eff_paired_med}** · **CPU-normalized median: {eff_cpu_med}** (target ≥ 0.8)
@@ -232,14 +249,14 @@ cpu-sec@4N ÷ cpu-sec@N for identical work — >1 means the host counted
 bandwidth stalls as busy time at 32 threads; eff × cpu_ratio removes that
 inflation, leaving pure thread-utilization scaling):
 
-| trial | order | eff_paired | cpu_ratio 32/8 | eff_cpu_norm |
+| trial | order | eff_paired | cpu_ratio 4N/N | eff_cpu_norm |
 |---|---|---|---|---|
 {pair_rows}
 
-CPU-seconds at both configs: {cpus_all[8]} (N) vs {cpus_all[32]} (4N).
+CPU-seconds at both configs: {cpus_all[nA]} (N) vs {cpus_all[nB]} (4N).
 Row counts are identical across every run (same dedup output, same
-{int(best[32]['n_tile_assignments']):,} tile assignments over
-{int(best[32]['n_tiles'])} tiles, same {int(best[32]['n_lineage_buckets'])}
+{int(best[nB]['n_tile_assignments']):,} tile assignments over
+{int(best[nB]['n_tiles'])} tiles, same {int(best[nB]['n_lineage_buckets'])}
 lineage buckets) — parallelism changes the schedule, not the answer.
 """
         )
