@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import sys
-import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,14 +24,10 @@ def _ensure_shipped(spark: SparkSession) -> None:
     matter where the driver process was launched from."""
     if getattr(spark, "_cdjl_shipped", False):
         return
-    pkg = os.path.join(REPO, "copernicusdata_jl_spark")
+    from copernicusdata_jl_spark.session import build_py_files_zip
+
     zpath = os.path.join(spark.sparkContext._temp_dir, "copernicusdata_jl_spark.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _dirs, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, REPO))
+    build_py_files_zip(zpath)
     spark.sparkContext.addPyFile(zpath)
     spark._cdjl_shipped = True
 

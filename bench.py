@@ -37,6 +37,7 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh",
     "ann_multiprobe",
+    "ann_ivf",
     "salted_agg",
     "lineage_rows",
     "event_windows",

@@ -316,6 +316,63 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ IVF-style ANN top-5: coarse-quantizer assignment (8 deterministic
+    seed centroids, literal-projection argmax — zero shuffle) + nprobe=2
+    query probing + exact-cosine re-rank. The third ANN flavor next to
+    `ann_lsh`/`ann_multiprobe`: candidate volume ≈ nprobe/n_centroids of
+    the table, recall grows with nprobe."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    base = emb.filter(F.col("vec_id") >= 3)
+    return D.ivf_topk(
+        base, q, k=5, nprobe=2, n_centroids=8,
+        id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", query_vec_col="qe",
+    ).orderBy("query_id", "rank")
+
+
+def _ann_ivf_sql() -> str:
+    cos_bc = _COS_SQL.format(a="b.embedding", b="c.cvec")
+    cos_qc = _COS_SQL.format(a="q.embedding", b="c.cvec")
+    cos_eq = _COS_SQL.format(a="a.embedding", b="qp.qe")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3 ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT b.vec_id, b.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {cos_bc} DESC, c.centroid_id ASC) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3) b
+    CROSS JOIN cents c) t
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_qc} DESC, c.centroid_id ASC) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+    CROSS JOIN cents c) t
+  WHERE rn <= 2
+),
+cand AS (
+  SELECT qp.query_id, a.vec_id, {cos_eq} AS cos_sim
+  FROM assign a JOIN qprobe qp USING (centroid_id)
+)
+SELECT query_id, vec_id, rank, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM cand) t
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """☆ winnowing document fingerprints (Schleimer et al. 2003): Arrow-
     batched rolling-hash kernel, exploded to (doc_id, fp) rows. Oracle is
@@ -357,6 +414,7 @@ EXT_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "embed_neardup": (q_embed_neardup, _embed_neardup_sql()),
     "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
     "ann_multiprobe": (q_ann_multiprobe, _ann_multiprobe_sql()),
+    "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),
 }
 
 

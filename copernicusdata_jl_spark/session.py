@@ -17,8 +17,28 @@ Scale rationale (100 TB design point):
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def build_py_files_zip(dest_path: str) -> str:
+    """Package this engine into a ``spark-submit --py-files`` zip (north
+    rule: "ships via spark-submit --py-files"). The zip holds the package
+    rooted at ``copernicusdata_jl_spark/`` so both the driver and every
+    executor python worker import it from the shipped artifact — no repo
+    checkout needed on any cluster node. The same zip feeds
+    ``SparkContext.addPyFile`` when a session is handed to us already
+    constructed (``__spark_entry__._ensure_shipped``)."""
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg)
+    with zipfile.ZipFile(dest_path, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    return dest_path
 
 
 def _tune_malloc_env() -> None:

@@ -124,6 +124,45 @@ def test_ann_multiprobe_recall_dominates_single_probe(spark):
     assert rec_m > rec_s  # and strictly gains somewhere in this fixture
 
 
+def test_ivf_topk_full_probe_equals_bruteforce_and_nprobe_monotone(spark):
+    """IVF sanity: with nprobe = n_centroids the candidate set is the whole
+    table, so ivf_topk must equal exact brute-force top-k; and recall vs
+    exact is monotone in nprobe (more probed cells never lose candidates)."""
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(120, 16)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(200 + j, [float(x) for x in (base[j * 7] + rng.normal(scale=0.08, size=16))])
+         for j in range(5)],
+        ["query_id", "qe"],
+    )
+    k, nc = 4, 6
+
+    def run(nprobe):
+        out = D.ivf_topk(emb, queries, k, nprobe, nc, "vec_id", "embedding",
+                         "query_id", "qe").collect()
+        res: dict[int, set[int]] = {}
+        for r in out:
+            res.setdefault(r.query_id, set()).add(r.vec_id)
+        return res
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    qvecs = {r.query_id: np.array(r.qe) for r in queries.collect()}
+    exact = {
+        qid: set(sorted(range(120), key=lambda i: (-round(cos(base[i], qv), 6), i))[:k])
+        for qid, qv in qvecs.items()
+    }
+    full = run(nc)
+    assert full == exact  # full probe == brute force
+    r1, r2 = run(1), run(2)
+    for qid in exact:
+        assert len(r1.get(qid, set()) & exact[qid]) <= len(r2.get(qid, set()) & exact[qid])
+
+
 def test_word_ngrams_short_doc(spark):
     df = spark.createDataFrame([(0, "a b"), (1, "a b c"), (2, "")], ["doc_id", "text"])
     got = {r.doc_id: r.sh for r in df.select("doc_id", D.word_ngrams_expr(F.col("text")).alias("sh")).collect()}

@@ -66,8 +66,12 @@ os.sched_setaffinity(0, set(range({cpus})))
 
 def tree_cpu_seconds():
     # sum utime+stime over this process and all descendants (JVM + python
-    # workers); dead-and-reaped children are not counted, but workers are
-    # reused so the undercount is negligible over a pass
+    # workers), PLUS each process's cutime+cstime: a worker that dies
+    # mid-pass is reaped by its parent and its jiffies migrate into the
+    # parent's cutime/cstime — without those fields the tree walk
+    # UNDERcounts a pass (measured: sporadic ~25% dips at local[4]).
+    # cutime/cstime only include already-waited-on children, so live
+    # descendants are never double-counted.
     hz = os.sysconf("SC_CLK_TCK")
     info = {{}}
     for pid in os.listdir("/proc"):
@@ -76,7 +80,10 @@ def tree_cpu_seconds():
         try:
             with open(f"/proc/{{pid}}/stat") as f:
                 rest = f.read().rsplit(")", 1)[1].split()
-            info[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            info[int(pid)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
         except Exception:
             continue
     kids = {{}}
@@ -109,6 +116,11 @@ best = min(runs, key=lambda r: r["wall_sec"])
 best["cpus"] = {cpus}
 best["walls_trial"] = [r["wall_sec"] for r in runs]
 best["cpu_sec_trial"] = [r["cpu_sec"] for r in runs]
+# median cpu across passes: the /proc tree walk occasionally UNDERcounts a
+# pass (a python worker that dies mid-pass takes its accumulated jiffies
+# with it), so per-pass cpu is noisy-low, never noisy-high — median is the
+# robust estimate for identical work
+best["cpu_sec_med"] = sorted(r["cpu_sec"] for r in runs)[len(runs) // 2]
 print("METRICS " + json.dumps(best))
 spark.sql("DROP TABLE IF EXISTS scaling_pages")  # external: metadata only
 spark.stop()
@@ -178,7 +190,9 @@ def main() -> None:
                 )
         if nA in trial and nB in trial:
             e = (trial[nB]["docs_per_sec"] / trial[nA]["docs_per_sec"]) / (nB / nA)
-            cpu_ratio = trial[nB]["cpu_sec"] / trial[nA]["cpu_sec"]
+            cpu_ratio = trial[nB].get("cpu_sec_med", trial[nB]["cpu_sec"]) / trial[nA].get(
+                "cpu_sec_med", trial[nA]["cpu_sec"]
+            )
             pairs.append({
                 "trial": t, "order": f"{order[0]}->{order[1]}",
                 "eff_paired": round(e, 3),
