@@ -33,6 +33,7 @@ HEADLINE = [
     "winnowing",
     "simhash",
     "token_quality",
+    "bm25",
     "extract_digest",
     "cosine_topk",
     "ann_lsh",

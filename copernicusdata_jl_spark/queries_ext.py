@@ -373,6 +373,27 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ BM25 relevance scoring over the documents table (query terms
+    'spark join window'): token-array term stats per row (no explode), one
+    single-row corpus-stats aggregate broadcast back, map-side scoring —
+    the ranking layer of the training-data pipeline (functions/rank.py)."""
+    from .functions.rank import bm25_scores
+
+    return bm25_scores(load(spark, sf_dir, "documents"), _BM25_TERMS).orderBy(
+        F.desc("bm25"), "doc_id"
+    )
+
+
+def _bm25_sql() -> str:
+    from .functions.rank import bm25_sql
+
+    return bm25_sql("documents", _BM25_TERMS) + " ORDER BY bm25 DESC, doc_id"
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """☆ winnowing document fingerprints (Schleimer et al. 2003): Arrow-
     batched rolling-hash kernel, exploded to (doc_id, fp) rows. Oracle is
@@ -415,6 +436,7 @@ EXT_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
     "ann_multiprobe": (q_ann_multiprobe, _ann_multiprobe_sql()),
     "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),
+    "bm25": (q_bm25, _bm25_sql()),
 }
 
 

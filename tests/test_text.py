@@ -148,3 +148,26 @@ def test_extractor_edge_charset_parity(spark):
     con.register("t", pd.DataFrame({"html": cases}))
     gots = [r[0] for r in con.execute(f"SELECT {text.extract_text_sql('html')} FROM t").fetchall()]
     assert gots == want
+
+
+def test_bm25_ranking_semantics_and_plan(spark):
+    """BM25 (functions/rank.py): zero score iff no query term present;
+    a term-dense doc outranks a single-mention doc at equal length; the
+    scoring side is a broadcast of the single-row corpus stats (no
+    sort-merge join, no data-sized shuffle on the scoring path)."""
+    from copernicusdata_jl_spark.functions.rank import bm25_scores
+
+    rows = [
+        (0, "spark " * 10 + "filler " * 10),        # dense in 'spark'
+        (1, "spark " + "filler " * 19),             # one mention, same length
+        (2, "completely unrelated words here only"),
+        (3, None),                                  # NULL text -> empty tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_scores(docs, ["spark"])
+    got = {r.doc_id: r.bm25 for r in out.collect()}
+    assert got[0] > got[1] > 0.0
+    assert got[2] == 0.0 and got[3] == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
