@@ -96,3 +96,28 @@ def test_whole_stage_codegen_covers_dedup_shingling(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # partial min per signature lane before the shuffle (map-side combine)
     assert "partial_min" in plan
+
+
+def test_ann_plans_broadcast_queries_never_shuffle_base(spark):
+    """All three ANN flavors must broadcast the (exploded) query side and
+    keep the base/embeddings table out of any SortMergeJoin: at 10^12
+    vectors the base scan is the data path and must stay map-side up to
+    the per-query top-k window."""
+    from copernicusdata_jl_spark.queries_ext import q_ann_lsh, q_ann_multiprobe, q_ann_ivf
+
+    for q in (q_ann_lsh, q_ann_multiprobe, q_ann_ivf):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "SortMergeJoin" not in plan, q.__name__
+        # candidate generation is JVM-side (no Python eval before re-rank)
+        assert "BatchEvalPython" not in plan, q.__name__
+
+
+def test_bm25_single_row_stats_broadcast(spark):
+    """BM25's only join is the 1-row corpus-stats broadcast; the document
+    side never sorts or shuffles for scoring."""
+    from copernicusdata_jl_spark.queries_ext import q_bm25
+
+    plan = plan_of(q_bm25(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
