@@ -267,6 +267,46 @@ def quality_score_sql(text_expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def repetition_ratio_expr(text: Column, n: int = 3) -> Column:
+    """Gopher-style within-document repetition signal (Rae et al. 2021
+    quality rules): 1 - distinct(n-grams)/total(n-grams) over single-space
+    tokens — boilerplate and spam repeat phrases, prose does not. Same
+    slice+zip_with gram construction as operators/dedup.word_ngrams_expr
+    but WITHOUT the distinct (the ratio needs raw gram counts); pure array
+    ops, no explode, no shuffle. NULL/short text scores 0.0."""
+    toks = F.split(text, " ")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, cnt), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    total = F.size(grams).cast("double")
+    return F.coalesce(
+        F.when(
+            total > 0,
+            F.round(1.0 - F.size(F.array_distinct(grams)).cast("double") / total, 6),
+        ).otherwise(F.lit(0.0)),
+        F.lit(0.0),
+    )
+
+
+def repetition_ratio_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB twin: same single-space tokens, same non-distinct grams."""
+    toks = f"string_split({text_expr}, ' ')"
+    gram = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), i -> {gram}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return (
+        f"CASE WHEN {text_expr} IS NOT NULL AND len({grams}) > 0 THEN "
+        f"round(1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / CAST(len({grams}) AS DOUBLE), 6) "
+        f"ELSE 0.0 END"
+    )
+
+
 def winnow_fingerprints(text: str, k: int = 8, w: int = 12) -> list[int]:
     """Winnowing (Schleimer et al. 2003): min hash per window of k-gram
     rolling hashes — deterministic md5-based, no Python hash() salt. The

@@ -373,6 +373,67 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ URL canonicalization (functions/url.py): messy crawl urls —
+    mixed-case scheme/host, default ports, tracking params, unsorted
+    query, fragments — synthesized deterministically from doc_id on both
+    engines, then canonicalized. The hygiene step before url dedup."""
+    from .functions.url import canonicalize_url_expr
+
+    d = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://Example.COM:443")).otherwise(
+            F.lit("http://Example.COM:80")
+        ),
+        F.lit("/P/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&b=2&a=1&gclid=g"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        messy.alias("url_raw"),
+        canonicalize_url_expr(messy).alias("url_canon"),
+    ).orderBy("doc_id")
+
+
+def _url_canon_sql() -> str:
+    from .functions.url import canonicalize_url_sql
+
+    messy = (
+        "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Example.COM:443' "
+        "ELSE 'http://Example.COM:80' END, '/P/', CAST(doc_id AS VARCHAR), "
+        "'?utm_source=x&b=2&a=1&gclid=g', "
+        "CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END)"
+    )
+    return f"""
+SELECT doc_id, {messy} AS url_raw, {canonicalize_url_sql(messy)} AS url_canon
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Gopher-style repetition quality filter (Rae et al. 2021): 1 -
+    distinct/total 3-gram ratio per document, flagged above 0.02 — the
+    within-document twin of the cross-document dedup family."""
+    from .functions.text import repetition_ratio_expr
+
+    d = load(spark, sf_dir, "documents")
+    rep = repetition_ratio_expr(F.col("text"), 3)
+    return d.select(
+        "doc_id", rep.alias("rep3"), (rep > 0.02).alias("flagged")
+    ).orderBy("doc_id")
+
+
+def _repetition_filter_sql() -> str:
+    from .functions.text import repetition_ratio_sql
+
+    rep = repetition_ratio_sql("text", 3)
+    return f"""
+SELECT doc_id, {rep} AS rep3, ({rep}) > 0.02 AS flagged FROM documents ORDER BY doc_id
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -437,6 +498,8 @@ EXT_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "ann_multiprobe": (q_ann_multiprobe, _ann_multiprobe_sql()),
     "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),
     "bm25": (q_bm25, _bm25_sql()),
+    "url_canon": (q_url_canon, _url_canon_sql()),
+    "repetition_filter": (q_repetition_filter, _repetition_filter_sql()),
 }
 
 
