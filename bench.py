@@ -79,7 +79,17 @@ def main() -> None:
 
     n_pages = max(20_000, int(1_000_000 * sf))
     # production layout: pages bucketed by url (Iceberg bucket-partition
-    # analog) — dedup + extraction then plan with zero Exchange
+    # analog) — dedup + extraction then plan with zero Exchange.
+    # A previous bench killed mid-write leaves an orphaned managed-table
+    # location the fresh in-memory catalog refuses to overwrite
+    # (LOCATION_ALREADY_EXISTS) — drop both catalog entry and directory.
+    spark.sql("DROP TABLE IF EXISTS bench_pages")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(wh.removeprefix("file:"), "bench_pages")
+    if os.path.isdir(stale):
+        import shutil
+
+        shutil.rmtree(stale, ignore_errors=True)
     write_pages_bucketed(build_pages(spark, n_pages, int(cpus) * 2), table="bench_pages",
                          buckets=4 * int(cpus))
     src = "table:bench_pages"
