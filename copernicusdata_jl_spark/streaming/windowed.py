@@ -129,6 +129,34 @@ def stream_dedup_latest(
     return agg.select(F.col("w.start").alias("window_start"), *key_cols, ts_col, *payload)
 
 
+def stream_corpus(
+    pages: DataFrame,
+    window: str = "365 days",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Streaming twin of the flagship corpus stage
+    (flagship.prepare_corpus): incremental crawl ingest — latest-wins url
+    dedup (watermarked window max_by over ``warc_ts``) with the
+    deterministic extractor + sha256 digest applied to each surviving
+    page. Extraction runs AFTER dedup, so at 10^12 docs each url's html
+    is extracted once per emitted winner, not once per recrawl — the same
+    ordering argument as the batch pipeline.
+
+    Parity contract (tested): when every url's recrawls fall inside one
+    window, an availableNow drain equals the batch ``prepare_corpus``
+    result row-for-row (url, warc_ts, text, text_sha256). Keys recurring
+    across windows emit one winner per window — size the window to the
+    recrawl horizon or resolve downstream on the window column."""
+    from ..functions.text import extract_text_expr
+
+    dedup = stream_dedup_latest(
+        pages, ["url"], ts_col="warc_ts", window=window, watermark=watermark
+    )
+    return dedup.withColumn("text", extract_text_expr(F.col("html"))).withColumn(
+        "text_sha256", F.sha2(F.col("text"), 256)
+    )
+
+
 def running_key_stats(
     events: DataFrame,
     key_col: str = "user_id",

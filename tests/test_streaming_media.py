@@ -235,3 +235,55 @@ def test_stream_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_corpus_matches_batch_prepare_corpus(spark, tmp_path):
+    """stream_corpus (incremental crawl ingest) drained with availableNow
+    must equal the batch flagship corpus stage on (url, warc_ts,
+    text_sha256): with a 365-day window every url's recrawls share one
+    window, so the per-window winner IS the global latest-wins winner.
+    Append mode only emits windows the watermark has passed, so a
+    far-future sentinel page is appended last (later file mtime => final
+    micro-batch) to close the real window; the sentinel's own window stays
+    open and is excluded from the comparison."""
+    import datetime
+
+    from copernicusdata_jl_spark.flagship import build_pages, prepare_corpus
+    from copernicusdata_jl_spark.streaming.windowed import (
+        run_available_now,
+        stream_corpus,
+    )
+
+    pages = build_pages(spark, 300, partitions=4)
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sentinel = spark.createDataFrame(
+        [("https://sentinel/", datetime.datetime(2035, 1, 1), b"<html></html>", "en", 0.0, 0.0)],
+        schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    batch = (
+        prepare_corpus(spark.read.parquet(src).filter(F.col("url") != "https://sentinel/"))[
+            "extracted"
+        ].select("url", "warc_ts", "text_sha256")
+    )
+    stream = stream_corpus(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src),
+        window="365 days",
+        watermark="0 seconds",
+    )
+    assert stream.isStreaming
+    run_available_now(stream, "corpus_out", str(tmp_path / "ckpt"), output_mode="append")
+    got = sorted(
+        map(
+            tuple,
+            spark.table("corpus_out")
+            .filter(F.col("url") != "https://sentinel/")
+            .select("url", "warc_ts", "text_sha256")
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) == 300
