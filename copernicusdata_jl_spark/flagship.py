@@ -90,9 +90,13 @@ def prepare_corpus(pages: DataFrame, strategy: str = "aggregate") -> dict[str, D
        with ~5-30% recrawl duplication this is the single biggest saving.
 
        ``strategy``:
-       - "aggregate" (default): ``groupBy(url).agg(max_by(payload, key))``
-         — a hash aggregate, no sort; ties on warc_ts break
-         deterministically on the html bytes. Over a pages table BUCKETED
+       - "aggregate" (default): ``groupBy(url).agg(max_by(struct(payload),
+         key))`` — a hash aggregate, no sort; ONE max_by over the whole
+         payload struct, so exactly one input row survives even on full
+         (url, warc_ts, html) tie-key duplicates (per-column max_by would
+         let the surviving lang/lat/lon come from different rows depending
+         on encounter order). Ties on warc_ts break deterministically on
+         the html bytes. Over a pages table BUCKETED
          BY url (``write_pages_bucketed`` — the Iceberg
          bucket-partitioned-table analog) Catalyst elides the Exchange
          entirely: html NEVER crosses a shuffle (plan-asserted in
@@ -114,9 +118,12 @@ def prepare_corpus(pages: DataFrame, strategy: str = "aggregate") -> dict[str, D
     elif strategy == "aggregate":
         payload = [c for c in pages.columns if c != "url"]
         key = F.struct(F.col("warc_ts"), F.col("html"))
-        deduped = pages.groupBy("url").agg(
-            *[F.max_by(c, key).alias(c) for c in payload]
-        ).select(pages.columns)
+        deduped = (
+            pages.groupBy("url")
+            .agg(F.max_by(F.struct(*payload), key).alias("_row"))
+            .select("url", *[F.col(f"_row.{c}").alias(c) for c in payload])
+            .select(pages.columns)
+        )
     else:
         raise ValueError(f"unknown dedup strategy {strategy!r}")
     extracted = deduped.withColumn("text", extract_text_expr(F.col("html"))).withColumn(

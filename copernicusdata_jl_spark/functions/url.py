@@ -15,6 +15,12 @@ Canonical form:
      its ``?``. Path is otherwise preserved verbatim (no trailing-slash
      or dot-segment rewriting — those change semantics on real servers).
 
+Scheme-less / malformed urls (no ``scheme://`` prefix — relative links,
+protocol-relative ``//host/x``, junk) pass through UNCHANGED: without a
+recognizable scheme the host/path split is meaningless, and the previous
+behavior (emitting ``://example.com/x``) silently collided distinct
+malformed urls before dedup.
+
 Reference provenance: the reference dedups granule paths verbatim
 (src/EOProducts.jl product scan); canonicalization is part of the ☆
 web-corpus extension, feeding flagship.prepare_corpus's url dedup.
@@ -48,13 +54,14 @@ def canonicalize_url_expr(url: Column) -> Column:
         lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_RE),
     )
     sorted_q = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
+    return F.when(scheme != "", canonical).otherwise(url)
 
 
 def canonicalize_url_sql(url_expr: str) -> str:
@@ -76,7 +83,8 @@ def canonicalize_url_sql(url_expr: str) -> str:
         f"p -> p != '' AND NOT regexp_matches(p, '{TRACKING_RE}'))"
     )
     sorted_q = f"array_to_string(list_sort({params}), '&')"
-    return (
+    canonical = (
         f"concat({scheme}, '://', {host}, {path}, "
         f"CASE WHEN {sorted_q} != '' THEN concat('?', {sorted_q}) ELSE '' END)"
     )
+    return f"CASE WHEN {scheme} != '' THEN {canonical} ELSE {url_expr} END"

@@ -71,6 +71,21 @@ def test_dedup_strategies_identical(spark, pages_path):
     assert a == b and len(a) == 3000
 
 
+def test_dedup_full_tie_key_duplicates_keep_one_whole_row(spark, pages_path):
+    """On full (url, warc_ts, html) tie-key duplicates, the aggregate
+    strategy must keep exactly ONE whole input row (single max_by over the
+    payload struct), not a per-column mix whose lang/lat/lon depend on
+    Spark's encounter order — and must match the window strategy."""
+    pages = spark.read.parquet(pages_path).limit(50)
+    ties = pages.withColumn("lang", F.lit("zz")).withColumn("lat", F.col("lat") + 1.0)
+    both = pages.unionByName(ties).repartition(7)
+    agg = flagship.prepare_corpus(both, "aggregate")["deduped"]
+    assert agg.count() == 50
+    rows = {tuple(r) for r in pages.collect()} | {tuple(r) for r in ties.collect()}
+    for r in agg.collect():
+        assert tuple(r) in rows, "aggregate dedup mixed columns across tied rows"
+
+
 def test_bucketed_dedup_is_shuffle_free(spark, pages_path):
     """Production layout (VERDICT r1 top-next): over the url-bucketed pages
     table (the Iceberg bucket-partition analog), the dedup + extraction

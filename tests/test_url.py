@@ -21,6 +21,10 @@ CASES = [
     ("HTTP://WWW.Example.com/Q", "http://www.example.com/Q"),
     # utm param in the middle; empty param segments dropped
     ("https://e.com/p?a=1&utm_campaign=x&b=2", "https://e.com/p?a=1&b=2"),
+    # scheme-less / malformed urls pass through UNCHANGED (no '://' mangling)
+    ("example.com/x?b=2&a=1", "example.com/x?b=2&a=1"),
+    ("//Host.example/protocol-relative", "//Host.example/protocol-relative"),
+    ("/relative/Path#frag", "/relative/Path#frag"),
 ]
 
 
