@@ -197,6 +197,80 @@ def test_knn_kring_sparse_fewer_than_k(spark):
     assert sorted(r.rank for r in out) == [1, 2, 3]
 
 
+def test_knn_kring_empty_queries_and_zero_ring(spark):
+    """ADVICE r2: no crash on an empty query set (empty result, correct
+    schema) and a 0 starting ring escalates to 1 instead of spinning
+    identical rounds to max_rounds."""
+    from copernicusdata_jl_spark.operators.knn import knn_kring
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 30), float(i % 60)) for i in range(50)],
+        "event_id long, lat double, lon double",
+    )
+    empty_q = spark.createDataFrame([], "query_id string, qlat double, qlon double")
+    out = knn_kring(pts, empty_q, res=5, k_ring=2, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "event_id", "rank", "dist_m"]
+
+    qdf = spark.createDataFrame([("Q", 10.0, 20.0)], "query_id string, qlat double, qlon double")
+    got = knn_kring(pts, qdf, res=5, k_ring=0, k=3, escalate=True, max_rounds=8).collect()
+    assert len(got) == 3  # would be <3 if ring stayed 0 and the cell is sparse
+
+
+def test_ring_guarantee_expr_conservative_vs_numpy(spark):
+    """The Catalyst guarantee must never EXCEED the NumPy bound (a larger
+    'guarantee' could declare a query done before its top-k is provably
+    exact). Grid over latitudes × rings × resolutions."""
+    from copernicusdata_jl_spark.operators.knn import full_ring, ring_guarantee_expr, ring_guarantee_m
+
+    cases = [
+        (lat, ring, res)
+        for res in (4, 6)
+        for ring in (1, 2, 4, 8, full_ring(res))
+        for lat in (-89.9, -85.0, -45.0, -0.1, 0.0, 37.5, 60.0, 89.9)
+    ]
+    df = spark.createDataFrame(cases, "qlat double, ring int, res int")
+    for res in (4, 6):
+        rows = (
+            df.filter(F.col("res") == res)
+            .select("qlat", "ring", ring_guarantee_expr(F.col("qlat"), F.col("ring"), res).alias("g"))
+            .collect()
+        )
+        for r in rows:
+            want = ring_guarantee_m(r.qlat, r.ring, res)
+            assert r.g <= want + 1e-6, (r.qlat, r.ring, res, r.g, want)
+            assert r.g >= 0.0
+
+
+def test_knn_kring_many_queries_dataframe_native(spark):
+    """VERDICT r2 #6 done-criterion: 10^4 queries escalate without driver
+    materialization of the query set, and the result is EXACT — equal to
+    brute-force kNN over the same points for every query."""
+    from copernicusdata_jl_spark.functions import geo
+    from copernicusdata_jl_spark.operators.knn import knn_kring, topk_per_group
+
+    pts = spark.range(500).select(
+        F.col("id").alias("event_id"),
+        (F.pmod(F.col("id") * 37, F.lit(1600)).cast("double") / 10.0 - 80.0).alias("lat"),
+        (F.pmod(F.col("id") * 73, F.lit(3600)).cast("double") / 10.0 - 180.0).alias("lon"),
+    )
+    qdf = spark.range(10_000).select(
+        F.concat(F.lit("q"), F.col("id")).alias("query_id"),
+        (F.pmod(F.col("id") * 131, F.lit(1780)).cast("double") / 10.0 - 89.0).alias("qlat"),
+        (F.pmod(F.col("id") * 17, F.lit(3600)).cast("double") / 10.0 - 180.0).alias("qlon"),
+    )
+    got = knn_kring(pts, qdf, res=4, k_ring=2, k=3, escalate=True)
+    assert got.count() == 30_000
+    brute = pts.crossJoin(F.broadcast(qdf)).withColumn(
+        "dist_m",
+        F.round(geo.haversine_m_expr(F.col("lat"), F.col("lon"), F.col("qlat"), F.col("qlon")), 3),
+    )
+    want = topk_per_group(brute, ["query_id"], [F.asc("dist_m"), F.asc("event_id")], 3).select(
+        "query_id", "event_id", "rank", "dist_m"
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def test_ring_guarantee_monotone_and_polar_safe():
     from copernicusdata_jl_spark.operators.knn import full_ring, ring_guarantee_m
 
