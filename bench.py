@@ -80,9 +80,13 @@ def main() -> None:
     n_pages = max(20_000, int(1_000_000 * sf))
     # production layout: pages bucketed by url (Iceberg bucket-partition
     # analog) — dedup + extraction then plan with zero Exchange.
-    # A previous bench killed mid-write leaves an orphaned managed-table
-    # location the fresh in-memory catalog refuses to overwrite
-    # (LOCATION_ALREADY_EXISTS) — drop both catalog entry and directory.
+    # Bucket count scales with input size (VERDICT r2 #3): a fixed 4×cpus
+    # put 128 ~800-row files under the 105k-doc sf0.1 table and the wall
+    # was all task-wave overhead. One bucket per core is the floor (scan
+    # parallelism of the zero-exchange segment == bucket count); buckets
+    # grow in core-multiples once there are ≥3k docs per bucket to amortize
+    # per-task cost. BENCH/flagship_ab_sf01.json is the committed A/B.
+    buckets = int(cpus) * max(1, min(4, n_pages // (3000 * int(cpus))))
     spark.sql("DROP TABLE IF EXISTS bench_pages")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     stale = os.path.join(wh.removeprefix("file:"), "bench_pages")
@@ -91,7 +95,7 @@ def main() -> None:
 
         shutil.rmtree(stale, ignore_errors=True)
     write_pages_bucketed(build_pages(spark, n_pages, int(cpus) * 2), table="bench_pages",
-                         buckets=4 * int(cpus))
+                         buckets=buckets)
     src = "table:bench_pages"
     run_flagship(spark, src)  # warmup: python-worker pool + codegen
     trials = [run_flagship(spark, src) for _ in range(2)]
@@ -110,7 +114,7 @@ def main() -> None:
         # are the best of N timed warm trials after one untimed warmup;
         # every timed wall is listed so cross-round comparisons can detect
         # protocol changes without reading repo docs
-        "flagship_protocol": "warmup+best-of-2-warm; url-bucketed table, aggregate dedup (zero-exchange)",
+        "flagship_protocol": f"warmup+best-of-2-warm; url-bucketed table ({buckets} buckets, input-scaled), aggregate dedup (zero-exchange)",
         "flagship_walls_trial": [m["wall_sec"] for m in trials],
         "n_docs": int(fm["n_docs"]),
         "n_events": n_docs,
