@@ -30,6 +30,12 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh",
     "minhash_lsh_fast",
+    # neardup_components is correctness-gated (48/48) but not timed here:
+    # the iterative label-propagation loop is per-round fixed cost at
+    # sf<=0.1 corpus sizes (a few hundred docs), which measures Spark job
+    # scheduling, not the operator
+    "stratified_sample",
+    "asof_join",
     "winnowing",
     "simhash",
     "token_quality",

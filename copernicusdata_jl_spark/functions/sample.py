@@ -1,0 +1,68 @@
+"""Deterministic hash-based sampling — training-mix construction.
+
+Building an LLM training mix means sampling each stratum (language,
+source, quality band) at its own rate, REPRODUCIBLY: re-running the job,
+adding executors, or resuming from checkpoint must select the exact same
+documents.  RNG-based ``df.sample`` gives none of that (seed semantics
+are partition-dependent), so the standard web-scale idiom is a keyed
+hash threshold: keep a row iff ``h(key) mod D < rate·D``.  Pure map-side
+projection — no shuffle, no state — and the hash is salted so
+independent samples of the same corpus are uncorrelated.
+
+The portable flavor reuses the engine's 56-bit md5-prefix hash
+(operators/dedup.h56_expr) so DuckDB re-derives the exact selection —
+the sampler is value-checked by the driver gate, not just row-counted.
+
+Reference parity: the reference has no sampler; this extends its
+deterministic-selection semantics (granule selection by name/time,
+reference src/EOTriggering.jl:146) the way the north rule's lineage
+checksums extend its golden-output comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import h56_expr, h56_sql
+
+_DENOM = 1_000_000
+
+
+def sample_hash_expr(key: Column, rate: float, salt: str = "smp", fast: bool = False) -> Column:
+    """Boolean keep-predicate: deterministic ``rate`` fraction of keys.
+    ``pmod(h56(salt||key), 1e6) < rate·1e6`` — uniform because the hash's
+    low bits are uniform; changing ``salt`` draws an independent sample."""
+    return F.pmod(h56_expr(key, salt, fast=fast), F.lit(_DENOM)) < int(rate * _DENOM)
+
+
+def sample_mod_sql(key_expr: str, salt: str = "smp") -> str:
+    """The ``pmod(h56(salt||key), 1e6)`` half of the predicate — compared
+    against a per-stratum threshold by callers."""
+    h = h56_sql(key_expr, salt)
+    return f"((({h}) % {_DENOM} + {_DENOM}) % {_DENOM})"
+
+
+def sample_hash_sql(key_expr: str, rate: float, salt: str = "smp") -> str:
+    return f"{sample_mod_sql(key_expr, salt)} < {int(rate * _DENOM)}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "smp",
+    fast: bool = False,
+) -> DataFrame:
+    """Keep each stratum at its own rate (training-mix construction):
+    ``rates`` maps stratum value → keep fraction; strata not listed keep
+    ``default_rate``.  One whole-stage-codegen filter — at 10^12 rows the
+    sampler costs a scan, nothing more, and the selection is stable under
+    any partitioning / resume / cluster size."""
+    h = F.pmod(h56_expr(F.col(key_col), salt, fast=fast), F.lit(_DENOM))
+    thresh = F.lit(int(default_rate * _DENOM))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(F.col(strata_col) == value, F.lit(int(rate * _DENOM))).otherwise(thresh)
+    return df.filter(h < thresh)

@@ -41,7 +41,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_a", "id_b")
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """The shared CTE chain of the portable MinHash-LSH pipeline (through
+    exact-Jaccard verification in ``j``) — composed by both the pair query
+    oracle (`_minhash_sql`) and the cluster-resolution oracle
+    (`_components_sql`)."""
     sh = D.word_ngrams_sql("text", 3)
     base = D.h56_sql("g", "mh")
     mins = ", ".join(f"min({D.affine_sql('h', j)}) AS m{j}" for j in range(_NH))
@@ -51,8 +55,7 @@ def _minhash_sql() -> str:
         )
         for b in range(_BANDS)
     )
-    return f"""
-WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+    return f"""sh AS (SELECT doc_id, {sh} AS sh FROM documents),
 ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
 hx AS (SELECT doc_id, {base} AS h FROM ex),
 sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
@@ -73,9 +76,126 @@ j AS (
          round(len(list_intersect(x.sh, y.sh)) * 1.0
                / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
   FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-)
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {_THRESH}
 ORDER BY id_a, id_b
+"""
+
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Duplicate-cluster resolution: MinHash-LSH near-dup pairs (portable
+    flavor, same parameters as `minhash_lsh`) grouped into connected
+    components — transitive closure of the pair graph — with the minimum
+    doc_id as the canonical survivor per cluster.  Every document of the
+    corpus is labeled (singletons survive as their own cluster).  Spark
+    side: pointer-jumping min-label propagation (operators/components.py);
+    oracle side: exact reachability via a DuckDB recursive CTE."""
+    from .operators.components import resolve_duplicates
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup(
+        docs, "doc_id", "text", ngram=3, num_hashes=_NH, bands=_BANDS,
+        threshold=_THRESH, fast=False, max_bucket=64,
+    )
+    return resolve_duplicates(docs, pairs, "doc_id").orderBy("doc_id")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ As-of join: every purchase event gets the user's latest click at
+    or before it (attribution / point-in-time snapshot semantics — the
+    reference's start/stop_time window selection made per-row). Spark
+    side is the single-shuffle union+window formulation
+    (operators/asof.py) — no range join, linear per partition."""
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases, clicks, keys=["user_id"], ts_col="ts",
+        value_cols=["value"], tiebreak_col="event_id", prefix="click_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("click_ts"), F.col("click_value").alias("click_value"),
+    ).orderBy("event_id")
+
+
+def _asof_sql() -> str:
+    return """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.value AS click_value,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+         ) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT event_id, user_id, ts, click_ts, click_value FROM j WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+_MIX_RATES = {"en": 0.5, "fr": 0.25, "zh": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Deterministic training-mix sampler: per-language keep rates
+    (en 50%, fr 25%, zh 10%, rest 5%) via a salted hash threshold on
+    doc_id — reproducible under any partitioning/cluster size/resume, no
+    RNG (functions/sample.py). Pure map-side filter; the oracle re-derives
+    the exact same selection from the portable md5 arithmetic."""
+    from .functions.sample import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_k", F.col("doc_id").cast("string")
+    )
+    out = stratified_sample(docs, "_k", "lang", _MIX_RATES, _MIX_DEFAULT, salt="mix")
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def _stratified_sample_sql() -> str:
+    from .functions.sample import _DENOM, sample_mod_sql
+
+    h = sample_mod_sql("CAST(doc_id AS VARCHAR)", salt="mix")
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(r * _DENOM)}" for v, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {h} < (CASE {cases} ELSE {int(_MIX_DEFAULT * _DENOM)} END)
+ORDER BY doc_id
+"""
+
+
+def _components_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+dup AS (SELECT id_a, id_b FROM j WHERE jaccard >= {_THRESH}),
+edges AS (
+  SELECT id_a AS e_src, id_b AS e_dst FROM dup
+  UNION ALL
+  SELECT id_b AS e_src, id_a AS e_dst FROM dup
+),
+reach(rid, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.e_dst, r.comp FROM reach r JOIN edges e ON e.e_src = r.rid
+)
+SELECT rid AS doc_id,
+       min(comp) AS component_id,
+       CAST(rid = min(comp) AS INT) AS is_survivor
+FROM reach GROUP BY rid
+ORDER BY doc_id
 """
 
 
@@ -499,6 +619,9 @@ def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "minhash_lsh": (q_minhash_lsh, _minhash_sql()),
     "minhash_lsh_fast": (q_minhash_lsh_fast, _minhash_sql()),
+    "neardup_components": (q_neardup_components, _components_sql()),
+    "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
+    "asof_join": (q_asof_join, _asof_sql()),
     "winnowing": (q_winnowing, _winnowing_sql()),
     "simhash": (q_simhash, _simhash_sql()),
     "simhash_neardup": (q_simhash_neardup, _simhash_neardup_sql()),

@@ -1,0 +1,70 @@
+"""As-of join (operators/asof.py): <= visibility, per-key isolation,
+no-match NULLs, deterministic tie-break, and the union+window plan shape
+(exactly one shuffle, no join node).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from copernicusdata_jl_spark.operators.asof import asof_join
+
+
+def _t(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _run(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, ["user_id", "ts", "event_id"])
+    right = spark.createDataFrame(right_rows, ["user_id", "ts", "event_id", "value"])
+    out = asof_join(
+        left, right, keys=["user_id"], ts_col="ts",
+        value_cols=["value"], tiebreak_col="event_id", prefix="a_",
+    )
+    return {r.event_id: (r.a_ts, r.a_value) for r in out.collect()}
+
+
+def test_semantics(spark):
+    got = _run(
+        spark,
+        [
+            (1, _t("2024-01-01T10:00"), 100),  # click before -> matched
+            (1, _t("2024-01-01T08:00"), 101),  # no click yet -> NULL
+            (2, _t("2024-01-01T10:00"), 102),  # other user's clicks invisible
+            (1, _t("2024-01-01T09:00"), 103),  # equal ts -> visible (<=)
+        ],
+        [
+            (1, _t("2024-01-01T09:00"), 1, 5.0),
+            (1, _t("2024-01-01T09:30"), 2, 7.0),
+        ],
+    )
+    assert got[100] == (_t("2024-01-01T09:30"), 7.0)
+    assert got[101] == (None, None)
+    assert got[102] == (None, None)
+    assert got[103] == (_t("2024-01-01T09:00"), 5.0)
+
+
+def test_tiebreak_highest_id_wins(spark):
+    got = _run(
+        spark,
+        [(1, _t("2024-01-01T10:00"), 100)],
+        [
+            (1, _t("2024-01-01T09:00"), 7, 1.0),
+            (1, _t("2024-01-01T09:00"), 9, 2.0),
+            (1, _t("2024-01-01T09:00"), 8, 3.0),
+        ],
+    )
+    assert got[100] == (_t("2024-01-01T09:00"), 2.0)
+
+
+def test_plan_single_shuffle_no_join(spark):
+    left = spark.createDataFrame([(1, _t("2024-01-01T10:00"), 1)], ["user_id", "ts", "event_id"])
+    right = spark.createDataFrame(
+        [(1, _t("2024-01-01T09:00"), 2, 1.0)], ["user_id", "ts", "event_id", "value"]
+    )
+    out = asof_join(left, right, ["user_id"], "ts", ["value"], "event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
