@@ -328,15 +328,16 @@ def sign_bucket_expr(vec: Column, weights: list[list[int]]) -> Column:
     return out
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+def dot_cols_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_cols_expr(a, b) / (F.sqrt(dot_cols_expr(a, a)) * F.sqrt(dot_cols_expr(b, b)))
 
 
 def embedding_neardup(
@@ -388,27 +389,85 @@ def ivf_centroid_rows(
     return [(j, [float(x) for x in r[vec_col]]) for j, r in enumerate(rows)]
 
 
-def ivf_assign_expr(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
+def norm_expr(vec: Column) -> Column:
+    """sqrt(v·v) — hoisted into its own column by the IVF operators so the
+    per-centroid cosine trees don't each re-embed the self-dot fold."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(vec, vec, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _lit_norm(values: list[float]) -> float:
+    """Python twin of :func:`norm_expr` for a LITERAL vector — same
+    left-to-right IEEE summation order as the Catalyst fold, so the
+    compiled constant is bit-identical to what the expression would
+    compute."""
+    import math
+
+    acc = 0.0
+    for x in values:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_vs_lit_expr(vec: Column, vnorm: Column, values: list[float]) -> Column:
+    """cos(vec, literal values) with the vec norm supplied as a column and
+    the literal norm folded at compile time: ONE fold per call instead of
+    the three inside :func:`cosine_expr` — numerically identical (same
+    ops, same order), ~3× smaller expression tree. Analysis/codegen time
+    of literal-heavy ANN plans is dominated by tree size (the 2^k
+    when/otherwise blowup note below), so this matters even though the
+    per-row work is unchanged."""
+    warr = F.array(*[F.lit(float(x)) for x in values])
+    dot = F.aggregate(
+        F.zip_with(vec, warr, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (vnorm * F.lit(_lit_norm(values)))
+
+
+def ivf_assign_expr(
+    vec_col: str, centroids: list[tuple[int, list[float]]], norm_col: str | None = None
+) -> Column:
     """Nearest-centroid id as a PURE PROJECTION: the centroid vectors are
     compiled into the expression as literals, so at 10^12 rows assignment
     is map-side whole-stage codegen — no join, no shuffle, the partition-
     prunable ``centroid_id`` comes for free at scan time if persisted.
     Ties (equal rounded cosine) go to the smallest centroid id.
 
-    Implementation note: the argmax is ONE ``array_max`` over
+    Implementation notes: the argmax is ONE ``array_max`` over
     struct(cos, -id) — struct ordering compares cosine first, then the
     negated id, so the max is (highest cosine, smallest id). A chained
     when/otherwise fold was tried first and REVERTED: each step embeds the
     previous step's whole expression tree, so k centroids produce 2^k
     copies of the cosine expressions and analysis/codegen time explodes
-    (measured 9.5 s vs 0.9 s for the sibling ANN queries at sf0.1)."""
-    structs = [
-        F.struct(
-            F.round(cosine_expr(F.col(vec_col), F.array(*[F.lit(x) for x in cv])), 6).alias("c"),
-            F.lit(-j).alias("ncid"),
-        )
-        for j, cv in centroids
-    ]
+    (measured 9.5 s vs 0.9 s for the sibling ANN queries at sf0.1).
+    With ``norm_col`` (a pre-computed :func:`norm_expr` column) each
+    centroid struct holds one dot-fold instead of three — same values,
+    ~2.5× smaller tree, visibly less fixed analysis cost."""
+    if norm_col is not None:
+        structs = [
+            F.struct(
+                F.round(
+                    cosine_vs_lit_expr(F.col(vec_col), F.col(norm_col), cv), 6
+                ).alias("c"),
+                F.lit(-j).alias("ncid"),
+            )
+            for j, cv in centroids
+        ]
+    else:
+        structs = [
+            F.struct(
+                F.round(cosine_expr(F.col(vec_col), F.array(*[F.lit(x) for x in cv])), 6).alias("c"),
+                F.lit(-j).alias("ncid"),
+            )
+            for j, cv in centroids
+        ]
     return (-F.array_max(F.array(*structs)).getField("ncid")).alias("centroid_id")
 
 
@@ -432,13 +491,19 @@ def ivf_topk(
     join broadcasts the exploded queries, so the base table is scanned
     once, map-side, regardless of query count."""
     cents = ivf_centroid_rows(emb, n_centroids, id_col, vec_col)
-    base = emb.select(id_col, vec_col, ivf_assign_expr(vec_col, cents).alias("centroid_id"))
+    # hoisted self-norms: every per-centroid cosine (assignment, probes)
+    # and the final re-rank reuse ONE norm column instead of re-embedding
+    # the self-dot fold — identical values, much smaller expression trees
+    base = emb.withColumn("_vn", norm_expr(F.col(vec_col))).select(
+        id_col, vec_col, "_vn",
+        ivf_assign_expr(vec_col, cents, norm_col="_vn").alias("centroid_id"),
+    )
     # per-query probe list: sort struct(cos, -cid) desc == cos desc, cid asc
     probe_structs = F.array(
         *[
             F.struct(
                 F.round(
-                    cosine_expr(F.col(query_vec_col), F.array(*[F.lit(x) for x in cv])), 6
+                    cosine_vs_lit_expr(F.col(query_vec_col), F.col("_qn"), cv), 6
                 ).alias("c"),
                 F.lit(-j).alias("ncid"),
             )
@@ -447,11 +512,14 @@ def ivf_topk(
     )
     probes = F.slice(F.sort_array(probe_structs, asc=False), 1, nprobe)
     q = (
-        queries.select(query_id_col, query_vec_col, F.explode(probes).alias("p"))
-        .select(query_id_col, query_vec_col, (-F.col("p.ncid")).alias("centroid_id"))
+        queries.withColumn("_qn", norm_expr(F.col(query_vec_col)))
+        .select(query_id_col, query_vec_col, "_qn", F.explode(probes).alias("p"))
+        .select(query_id_col, query_vec_col, "_qn", (-F.col("p.ncid")).alias("centroid_id"))
     )
     cand = base.join(F.broadcast(q), "centroid_id")
-    sim = F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6)
+    sim = F.round(
+        dot_cols_expr(F.col(vec_col), F.col(query_vec_col)) / (F.col("_vn") * F.col("_qn")), 6
+    )
     win = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         cand.withColumn("cos_sim", sim)

