@@ -281,3 +281,21 @@ def test_ring_guarantee_monotone_and_polar_safe():
     # inf before the grid is covered)
     assert ring_guarantee_m(-89.0, 1, 5) >= 0.0
     assert ring_guarantee_m(-89.0, full_ring(5), 5) == float("inf")
+
+
+def test_knn_kring_driver_and_dataframe_state_parity(spark):
+    """The two escalation-state strategies (driver dict vs DataFrame _ring
+    column) must return identical rows — 'auto' just picks by query count."""
+    from copernicusdata_jl_spark.operators.knn import knn_kring
+
+    pts = spark.createDataFrame(
+        [(i, float((i * 37) % 160) - 80.0, float((i * 73) % 360) - 180.0) for i in range(200)],
+        "event_id long, lat double, lon double",
+    )
+    qdf = spark.createDataFrame(
+        [("A", -85.0, 10.0), ("B", 0.0, 0.0), ("C", 40.0, 179.5), ("D", 88.0, -170.0)],
+        "query_id string, qlat double, qlon double",
+    )
+    drv = knn_kring(pts, qdf, res=5, k_ring=1, k=4, state="driver").orderBy("query_id", "rank")
+    dfn = knn_kring(pts, qdf, res=5, k_ring=1, k=4, state="dataframe").orderBy("query_id", "rank")
+    assert [tuple(r) for r in drv.collect()] == [tuple(r) for r in dfn.collect()]
