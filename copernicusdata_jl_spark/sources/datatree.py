@@ -348,8 +348,19 @@ def open_datatree(
     if driver is None:
         if path.endswith(".json"):
             driver = "json"
+        elif path.endswith(".zarr") or (
+            os.path.isdir(path)
+            and (os.path.exists(os.path.join(path, ".zgroup")) or os.path.exists(os.path.join(path, ".zarray")))
+        ):
+            driver = "zarr"
         elif path.endswith(".zip") and not os.path.isdir(path):
-            driver = "zip"
+            # a .zip can hold either store: sniff for Zarr metadata members
+            # (the reference's ZipStore twin, src/YAXTrees.jl:454-455)
+            import zipfile as _zf
+
+            with _zf.ZipFile(path) as z:
+                names = z.namelist()
+            driver = "zarr" if any(n.rsplit("/", 1)[-1] in (".zgroup", ".zarray") for n in names) else "zip"
         elif path.endswith(".parquet") and not os.path.isdir(os.path.join(path, "..", DATA_DIR)):
             driver = "table" if not os.path.isdir(path) or any(
                 f.endswith(".parquet") for f in os.listdir(path)
@@ -360,6 +371,10 @@ def open_datatree(
             raise ValueError(f"cannot infer driver for {path!r}")
     if driver == "json":
         return open_json_datatree(path, name)
+    if driver == "zarr":
+        from .zarr import open_zarr_datatree
+
+        return open_zarr_datatree(spark, path, name, group=group)
     if driver == "zip":
         return open_zip_datatree(spark, path, name, group=group)
     if driver == "table":

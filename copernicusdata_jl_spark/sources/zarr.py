@@ -1,0 +1,425 @@
+"""S2: native Zarr v2 store reader — from scratch, stdlib + NumPy only.
+
+The reference's primary on-disk format is Zarr group trees
+(``open_zarr_datatree``, reference src/YAXTrees.jl:443-465; zip twin
+:454-455 via ``Zarr.ZipStore``). The ``zarr``/``numcodecs`` packages are
+not installable in this container, so this module implements the public
+Zarr v2 spec directly:
+
+- store walk: ``.zgroup`` → group node, ``.zarray`` → array, ``.zattrs``
+  → attributes; directory stores and zip stores (both of the reference's
+  physical layouts);
+- chunk grid assembly: C/F order, edge-chunk overhang slicing, missing
+  chunk → ``fill_value``, ``.`` and ``/`` dimension separators;
+- codecs from first principles: raw/zlib/gzip via stdlib, and a pure-
+  Python **c-blosc container** decoder (16-byte header, per-block start
+  offsets, per-block byte-unshuffle) with a pure-Python **LZ4 block**
+  decompressor (Collet's public block format: token, literals, 2-byte LE
+  match offset, overlap-safe match copy) — enough to open the
+  reference's own committed fixture ``test/resources/yax.zarr``
+  (blosc/lz4/shuffle) natively. Bit-shuffle and zstd-inside-blosc raise
+  with a clear message (no silent wrong bytes).
+
+Tree mapping (same model as the parquet tree, sources/datatree.py): every
+Zarr group is a DataTree node; arrays in a group sharing the same named
+dimensions+shape merge into ONE DataFrame — index columns ``idx_<dim>``
+(dim names from the xarray ``_ARRAY_DIMENSIONS`` convention when present)
+plus one value column per array, mirroring the reference's co-dimensioned
+Dataset. ``fill_value`` is normalized to NULL at scan with the original
+recorded as the node's ``missing_value`` property (reference
+src/YAXTrees.jl:370-375).
+
+Scale note: Zarr trees in the reference are product/granule scale (the
+100-element fixture, per-granule measurement arrays); the conversion
+materializes arrays driver-side and hands Spark a DataFrame per group.
+Web-scale bulk data lives in parquet/Iceberg tables — the zarr path is
+the ingest/front door, a one-time conversion, not the query hot path.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import struct
+import zipfile
+import zlib
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from .datatree import DataTree
+
+# ---------------------------------------------------------------------------
+# LZ4 block format (public spec) — pure Python
+# ---------------------------------------------------------------------------
+
+
+def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decode one LZ4 *block* (not the framed format): sequences of
+    [token | literal-length ext | literals | offset(2B LE) | match-length
+    ext], match copy byte-by-byte because matches may overlap."""
+    dst = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(dst) < dst_size:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if lit:
+            dst += src[i : i + lit]
+            i += lit
+        if i >= n or len(dst) >= dst_size:
+            break
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        if off == 0:
+            raise ValueError("corrupt LZ4 block: zero match offset")
+        ml = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        start = len(dst) - off
+        for k in range(start, start + ml):
+            dst.append(dst[k])
+    if len(dst) != dst_size:
+        raise ValueError(f"LZ4 block decoded {len(dst)} bytes, expected {dst_size}")
+    return bytes(dst)
+
+
+# ---------------------------------------------------------------------------
+# blosc container — pure Python
+# ---------------------------------------------------------------------------
+
+_BLOSC_CODECS = {0: "blosclz", 1: "lz4", 2: "lz4hc", 3: "snappy", 4: "zlib", 5: "zstd"}
+
+
+def _unshuffle(buf: bytes, typesize: int) -> bytes:
+    """Inverse byte shuffle: plane j holds byte j of every element."""
+    n = len(buf) // typesize
+    a = np.frombuffer(buf[: n * typesize], dtype=np.uint8).reshape(typesize, n)
+    out = np.ascontiguousarray(a.T).tobytes()
+    return out + buf[n * typesize :]
+
+
+def blosc_decompress(chunk: bytes) -> bytes:
+    """Decode a c-blosc v1/v2 chunk: 16-byte header (version, versionlz,
+    flags, typesize, nbytes, blocksize, cbytes LE), then per-block int32
+    start offsets; each block is int32 csize + codec payload (csize ==
+    block size ⇒ stored raw). Shuffle is applied per block, matching
+    c-blosc's block-parallel layout."""
+    if len(chunk) < 16:
+        raise ValueError("blosc chunk shorter than header")
+    flags, typesize = chunk[2], chunk[3]
+    nbytes, blocksize, cbytes = struct.unpack("<III", chunk[4:16])
+    if cbytes != len(chunk):
+        raise ValueError(f"blosc header cbytes {cbytes} != chunk length {len(chunk)}")
+    if nbytes == 0:
+        return b""
+    if flags & 0x4:
+        raise NotImplementedError("blosc bit-shuffle not supported by the pure-Python reader")
+    shuffle = bool(flags & 0x1)
+    if flags & 0x2:  # memcpyed: payload is the raw buffer
+        raw = chunk[16 : 16 + nbytes]
+        return _unshuffle(raw, typesize) if shuffle and typesize > 1 else raw
+    codec = _BLOSC_CODECS.get(flags >> 5, "?")
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    bstarts = struct.unpack(f"<{nblocks}I", chunk[16 : 16 + 4 * nblocks])
+    out = bytearray()
+    for bi, bs in enumerate(bstarts):
+        neblock = min(blocksize, nbytes - bi * blocksize)
+        (csize,) = struct.unpack("<I", chunk[bs : bs + 4])
+        payload = chunk[bs + 4 : bs + 4 + csize]
+        if csize == neblock:
+            block = payload
+        elif codec in ("lz4", "lz4hc"):  # same block format
+            block = lz4_block_decompress(payload, neblock)
+        elif codec == "zlib":
+            block = zlib.decompress(payload)
+        else:
+            raise NotImplementedError(
+                f"blosc inner codec {codec!r} not supported by the pure-Python reader"
+            )
+        if shuffle and typesize > 1:
+            block = _unshuffle(block, typesize)
+        out += block
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# store abstraction: directory or zip archive
+# ---------------------------------------------------------------------------
+
+
+class _Store:
+    def read(self, key: str) -> bytes | None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def listdir(self, prefix: str) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
+
+class _DirStore(_Store):
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def read(self, key: str) -> bytes | None:
+        p = os.path.join(self.root, key) if key else self.root
+        if not os.path.isfile(p):
+            return None
+        with open(p, "rb") as f:
+            return f.read()
+
+    def listdir(self, prefix: str) -> list[str]:
+        p = os.path.join(self.root, prefix) if prefix else self.root
+        return sorted(os.listdir(p)) if os.path.isdir(p) else []
+
+
+class _ZipStore(_Store):
+    """Read-only view of a zipped store (reference Zarr.ZipStore twin).
+    Members may or may not share a single top-level directory."""
+
+    def __init__(self, path: str) -> None:
+        self.zf = zipfile.ZipFile(path)
+        names = self.zf.namelist()
+        # strip a sole shared top-level directory (zip-of-directory layout)
+        tops = {n.split("/", 1)[0] for n in names if n.strip("/")}
+        self.prefix = f"{next(iter(tops))}/" if len(tops) == 1 and all("/" in n or n.endswith("/") for n in names) else ""
+        self.names = set(names)
+
+    def read(self, key: str) -> bytes | None:
+        for cand in (self.prefix + key, key):
+            if cand in self.names:
+                return self.zf.read(cand)
+        return None
+
+    def listdir(self, prefix: str) -> list[str]:
+        base = self.prefix + (prefix + "/" if prefix else "")
+        out = set()
+        for n in self.names:
+            if n.startswith(base) and n != base:
+                out.add(n[len(base) :].split("/", 1)[0])
+        return sorted(x for x in out if x)
+
+
+# ---------------------------------------------------------------------------
+# array + group readers
+# ---------------------------------------------------------------------------
+
+_META_KEYS = (".zgroup", ".zarray", ".zattrs", ".zmetadata")
+
+
+def _decode_chunk(raw: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid == "blosc":
+        return blosc_decompress(raw)
+    if cid == "zlib":
+        return zlib.decompress(raw)
+    if cid == "gzip":
+        return gzip.decompress(raw)
+    raise NotImplementedError(f"zarr compressor {cid!r} not supported (install numcodecs for exotic codecs)")
+
+
+def read_zarr_array(store: _Store, key: str) -> tuple[np.ndarray, dict]:
+    """Assemble one Zarr v2 array → (ndarray, attrs). Missing chunks fill
+    with ``fill_value``; edge chunks store the full chunk shape and are
+    sliced to the overhang per the spec."""
+    meta = json.loads(store.read(f"{key}/.zarray" if key else ".zarray"))
+    if meta.get("zarr_format") != 2:
+        raise NotImplementedError(f"zarr_format {meta.get('zarr_format')} (only v2)")
+    if meta.get("filters"):
+        raise NotImplementedError("zarr filters not supported by the pure-Python reader")
+    dtype = np.dtype(meta["dtype"])
+    if dtype.kind not in "iufb":
+        raise NotImplementedError(f"dtype {dtype} not supported (numeric/bool only)")
+    shape, chunks = tuple(meta["shape"]), tuple(meta["chunks"])
+    order = meta.get("order", "C")
+    fill = meta.get("fill_value")
+    sep = meta.get("dimension_separator", ".")
+    attrs_raw = store.read(f"{key}/.zattrs" if key else ".zattrs")
+    attrs = json.loads(attrs_raw) if attrs_raw else {}
+    # the spec's fill_value lives in .zarray; surface it to callers the way
+    # the reference rewrites it into a missing_value attribute at scan
+    # (src/YAXTrees.jl:370-375)
+    if fill is not None:
+        attrs.setdefault("_FillValue", fill)
+
+    if fill is None:
+        arr = np.zeros(shape, dtype=dtype)
+    else:
+        arr = np.full(shape, dtype.type(fill), dtype=dtype)
+    if 0 in shape:
+        return arr, attrs
+    grid = [range((s + c - 1) // c) for s, c in zip(shape, chunks)]
+    import itertools
+
+    for idx in itertools.product(*grid):
+        ckey = sep.join(str(i) for i in idx) if idx else "0"
+        raw = store.read(f"{key}/{ckey}" if key else ckey)
+        if raw is None:
+            continue  # hole -> fill_value
+        buf = _decode_chunk(raw, meta.get("compressor"))
+        block = np.frombuffer(buf, dtype=dtype, count=int(np.prod(chunks))).reshape(
+            chunks, order=order
+        )
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
+        )
+        arr[sel] = block[tuple(slice(0, sl.stop - sl.start) for sl in sel)]
+    return arr, attrs
+
+
+def _group_dataframe(spark: SparkSession, arrays: dict[str, tuple[np.ndarray, dict]]):
+    """Merge a group's arrays into DataFrames: arrays sharing (dims, shape)
+    become one frame — index columns ``idx_<dim>`` + a value column per
+    array (the reference's co-dimensioned Dataset). Returns a list of
+    (DataFrame, member_names) in deterministic order."""
+    import pandas as pd
+
+    by_sig: dict[tuple, dict[str, tuple[np.ndarray, dict]]] = {}
+    for name in sorted(arrays):
+        a, attrs = arrays[name]
+        dims = tuple(attrs.get("_ARRAY_DIMENSIONS", [f"dim_{i}" for i in range(a.ndim)]))
+        by_sig.setdefault((dims, a.shape), {})[name] = (a, attrs)
+    frames = []
+    for (dims, shape), members in sorted(by_sig.items(), key=lambda kv: kv[0]):
+        cols: dict[str, np.ndarray] = {}
+        if shape:
+            mesh = np.meshgrid(*[np.arange(s, dtype=np.int64) for s in shape], indexing="ij")
+            for d, m in zip(dims, mesh):
+                cols[f"idx_{d}"] = m.ravel()
+        for name, (a, attrs) in members.items():
+            col = a.ravel()
+            fill = attrs.get("_FillValue", attrs.get("missing_value"))
+            if fill is not None:
+                sentinel = col == a.dtype.type(fill)
+                if a.dtype.kind == "f":
+                    col = np.where(sentinel, np.nan, col)
+                elif sentinel.any():  # int/bool: NULL needs object dtype
+                    col = np.array(
+                        [None if s else x.item() for x, s in zip(col, sentinel)], dtype=object
+                    )
+            cols[name] = col
+        pdf = pd.DataFrame(cols)
+        frames.append((spark.createDataFrame(pdf), sorted(members)))
+    return frames
+
+
+def open_zarr_datatree(
+    spark: SparkSession, path: str, name: str | None = None, group: str | None = None
+) -> DataTree:
+    """S2: recursive Zarr group scan → DataTree (reference
+    src/YAXTrees.jl:443-465). ``path`` may be a ``.zarr`` directory or a
+    ``.zip`` of one (ZipStore twin, :454-455). ``group`` filters nodes by
+    path substring at scan (S4's group filter). fill_value → NULL with a
+    ``missing_value`` property on the node."""
+    store: _Store = _ZipStore(path) if zipfile.is_zipfile(path) else _DirStore(path)
+    if store.read(".zgroup") is None and store.read(".zarray") is None:
+        raise ValueError(f"{path!r} is not a Zarr v2 store (no .zgroup/.zarray)")
+    base = os.path.basename(path.rstrip("/"))
+    for suf in (".zarr.zip", ".zarr", ".zip"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+            break
+    tree = DataTree(name or base or "root")
+
+    def rec(key: str, node: DataTree) -> None:
+        attrs_raw = store.read(f"{key}/.zattrs" if key else ".zattrs")
+        if attrs_raw:
+            node.properties.update(json.loads(attrs_raw))
+        arrays: dict[str, tuple[np.ndarray, dict]] = {}
+        subgroups: list[str] = []
+        for entry in store.listdir(key):
+            if entry in _META_KEYS:
+                continue
+            child_key = f"{key}/{entry}" if key else entry
+            if store.read(f"{child_key}/.zarray") is not None:
+                if group is None or group in node.path:
+                    arr, attrs = read_zarr_array(store, child_key)
+                    arrays[entry] = (arr, attrs)
+                    fill = attrs.get("_FillValue", attrs.get("missing_value"))
+                    if fill is not None:
+                        # per-variable, like the reference's per-array
+                        # missing_value attribute (arrays merge into one
+                        # frame here, so the node keeps a var -> fill map)
+                        node.properties.setdefault("missing_value", {})[entry] = fill
+            elif store.read(f"{child_key}/.zgroup") is not None:
+                subgroups.append(entry)
+        if arrays:
+            frames = _group_dataframe(spark, arrays)
+            node.data = frames[0][0]
+            for extra, members in frames[1:]:
+                # differently-shaped arrays get their own child node named
+                # by their variable set (rare; the reference's groups are
+                # co-dimensioned)
+                node.add_child("_".join(members), data=extra)
+        for entry in subgroups:
+            rec(f"{key}/{entry}" if key else entry, node.add_child(entry))
+
+    rec("", tree)
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# minimal spec-compliant writer (zlib) — round-trip tests + local fixtures
+# ---------------------------------------------------------------------------
+
+
+def write_zarr_array(
+    root: str,
+    name: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    attrs: dict | None = None,
+    fill_value=None,
+) -> None:
+    """Write one Zarr v2 array with the stdlib zlib compressor — a
+    spec-compliant store any zarr implementation opens. Used for
+    round-trip tests and local fixtures (the production sink stays
+    parquet/Iceberg, sources/datatree.to_parquet)."""
+    import itertools
+
+    chunks = chunks or arr.shape or (1,)
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunks),
+        "dtype": arr.dtype.str,
+        "order": "C",
+        "filters": None,
+        "fill_value": fill_value,
+        "compressor": {"id": "zlib", "level": 5},
+    }
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    if attrs:
+        with open(os.path.join(d, ".zattrs"), "w") as f:
+            json.dump(attrs, f)
+    grid = [range((s + c - 1) // c) for s, c in zip(arr.shape, chunks)]
+    for idx in itertools.product(*grid):
+        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
+        block = np.zeros(chunks, dtype=arr.dtype)
+        view = arr[sel]
+        block[tuple(slice(0, s) for s in view.shape)] = view
+        with open(os.path.join(d, ".".join(str(i) for i in idx) or "0"), "wb") as f:
+            f.write(zlib.compress(block.tobytes(), 5))
+
+
+def write_zarr_group(root: str) -> None:
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
