@@ -212,6 +212,95 @@ class _ZipStore(_Store):
         return sorted(x for x in out if x)
 
 
+class _S3Store(_Store):
+    """Object-store backend (reference opens zarr straight from s3://,
+    test/test_cloud_storage.jl + src/aws.jl). Per-key GETs; combine with
+    the consolidated-metadata view below so an open costs ONE metadata
+    object read plus chunk GETs — the reference's ``consolidated=true``
+    behavior (src/YAXTrees.jl:455-457)."""
+
+    def __init__(self, client, bucket: str, prefix: str) -> None:
+        self.client, self.bucket = client, bucket
+        self.prefix = prefix.strip("/")
+
+    def _key(self, key: str) -> str:
+        return f"{self.prefix}/{key}" if key else self.prefix
+
+    def read(self, key: str) -> bytes | None:
+        try:
+            return self.client.get_object(Bucket=self.bucket, Key=self._key(key))["Body"].read()
+        except Exception:
+            return None
+
+    def listdir(self, prefix: str) -> list[str]:
+        base = self._key(prefix).rstrip("/") + "/"
+        out: set[str] = set()
+        token: str | None = None
+        while True:
+            kw = dict(Bucket=self.bucket, Prefix=base, Delimiter="/")
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            out.update(p["Prefix"][len(base):].strip("/") for p in resp.get("CommonPrefixes", []))
+            out.update(o["Key"][len(base):] for o in resp.get("Contents", []) if o["Key"] != base)
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return sorted(x for x in out if x)
+
+
+class _ConsolidatedStore(_Store):
+    """Zarr consolidated-metadata view: every ``.zgroup/.zarray/.zattrs``
+    read is served from the single ``.zmetadata`` document and the tree
+    walk lists from its key set — no per-key metadata round trips (the
+    reference's one-metadata-read-per-open, src/YAXTrees.jl:455-457).
+    Chunk reads pass through to the inner store."""
+
+    def __init__(self, inner: _Store, doc: dict) -> None:
+        self.inner = inner
+        self.meta: dict = doc["metadata"]
+
+    def read(self, key: str) -> bytes | None:
+        if key.rsplit("/", 1)[-1] in (".zgroup", ".zarray", ".zattrs"):
+            m = self.meta.get(key)
+            return json.dumps(m).encode() if m is not None else None
+        return self.inner.read(key)
+
+    def listdir(self, prefix: str) -> list[str]:
+        base = f"{prefix}/" if prefix else ""
+        out: set[str] = set()
+        for k in self.meta:
+            if k.startswith(base):
+                out.add(k[len(base):].split("/", 1)[0])
+        return sorted(x for x in out if x and not x.startswith(".z"))
+
+
+def consolidate_metadata(store: _Store) -> dict:
+    """Build (and return) the ``.zmetadata`` document for a store — the
+    writer-side half of consolidated opens."""
+
+    def rec(key: str, meta: dict) -> None:
+        for mk in (".zgroup", ".zarray", ".zattrs"):
+            full = f"{key}/{mk}" if key else mk
+            raw = store.read(full)
+            if raw is not None:
+                meta[full] = json.loads(raw)
+        for entry in store.listdir(key):
+            child = f"{key}/{entry}" if key else entry
+            if store.read(f"{child}/.zgroup") is not None or store.read(f"{child}/.zarray") is not None:
+                rec(child, meta)
+
+    meta: dict = {}
+    rec("", meta)
+    return {"metadata": meta, "zarr_consolidated_format": 1}
+
+
+def write_consolidated(root: str) -> None:
+    doc = consolidate_metadata(_DirStore(root))
+    with open(os.path.join(root, ".zmetadata"), "w") as f:
+        json.dump(doc, f)
+
+
 # ---------------------------------------------------------------------------
 # array + group readers
 # ---------------------------------------------------------------------------
@@ -318,14 +407,35 @@ def _group_dataframe(spark: SparkSession, arrays: dict[str, tuple[np.ndarray, di
 
 
 def open_zarr_datatree(
-    spark: SparkSession, path: str, name: str | None = None, group: str | None = None
+    spark: SparkSession,
+    path: str,
+    name: str | None = None,
+    group: str | None = None,
+    client=None,
 ) -> DataTree:
     """S2: recursive Zarr group scan → DataTree (reference
-    src/YAXTrees.jl:443-465). ``path`` may be a ``.zarr`` directory or a
-    ``.zip`` of one (ZipStore twin, :454-455). ``group`` filters nodes by
+    src/YAXTrees.jl:443-465). ``path`` may be a ``.zarr`` directory, a
+    ``.zip`` of one (ZipStore twin, :454-455), or ``s3://bucket/prefix``
+    (pass ``client`` — a boto3 S3 client, e.g. ``sources.s3.s3_client``;
+    the reference's cloud open, test/test_cloud_storage.jl). When the
+    store carries ``.zmetadata``, all metadata is served from that ONE
+    document (consolidated open, :455-457). ``group`` filters nodes by
     path substring at scan (S4's group filter). fill_value → NULL with a
-    ``missing_value`` property on the node."""
-    store: _Store = _ZipStore(path) if zipfile.is_zipfile(path) else _DirStore(path)
+    per-variable ``missing_value`` property on the node."""
+    if path.startswith("s3://"):
+        if client is None:
+            from . import s3 as _s3
+
+            client = _s3.s3_client()
+        bucket, _, prefix = path[len("s3://"):].partition("/")
+        store: _Store = _S3Store(client, bucket, prefix)
+    elif zipfile.is_zipfile(path):
+        store = _ZipStore(path)
+    else:
+        store = _DirStore(path)
+    zmeta = store.read(".zmetadata")
+    if zmeta is not None:
+        store = _ConsolidatedStore(store, json.loads(zmeta))
     if store.read(".zgroup") is None and store.read(".zarray") is None:
         raise ValueError(f"{path!r} is not a Zarr v2 store (no .zgroup/.zarray)")
     base = os.path.basename(path.rstrip("/"))

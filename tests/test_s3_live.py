@@ -78,3 +78,43 @@ def test_tree_roundtrip_through_s3(spark, client, tmp_path):
 def test_download_missing_prefix_raises(client, tmp_path):
     with pytest.raises(FileNotFoundError):
         S3.download_tree_from_s3("engine-test", "nope/nothing", str(tmp_path / "x"), client)
+
+
+def test_zarr_store_over_s3_and_consolidated(spark, client, monkeypatch):
+    """Reference parity (test/test_yaxtree.jl:73-99 opens zarr via s3://):
+    the reference's own yax.zarr fixture uploaded object-by-object opens
+    through the S3 zarr store; with .zmetadata uploaded, the consolidated
+    view serves ALL metadata from that one document — proven by making
+    bucket listing fail: the consolidated open must never list."""
+    import json
+    import os
+
+    from copernicusdata_jl_spark.sources import zarr as Z
+
+    src = "/root/reference/test/resources/yax.zarr"
+    for d, _dirs, files in os.walk(src):
+        for f in files:
+            full = os.path.join(d, f)
+            key = "zstore/yax.zarr/" + os.path.relpath(full, src)
+            with open(full, "rb") as fh:
+                client.put_object(Bucket="engine-test", Key=key, Body=fh.read())
+
+    t_dir = Z.open_zarr_datatree(spark, src)
+    t_s3 = Z.open_zarr_datatree(spark, "s3://engine-test/zstore/yax.zarr", client=client)
+    assert t_s3.isomorphic(t_dir)
+    assert [tuple(r) for r in t_s3.data.orderBy("idx_Dim_1").collect()] == [
+        tuple(r) for r in t_dir.data.orderBy("idx_Dim_1").collect()
+    ]
+
+    doc = Z.consolidate_metadata(Z._DirStore(src))
+    client.put_object(
+        Bucket="engine-test", Key="zstore/yax.zarr/.zmetadata", Body=json.dumps(doc).encode()
+    )
+
+    def _no_list(self, prefix):
+        raise AssertionError("consolidated open must not list the bucket")
+
+    monkeypatch.setattr(Z._S3Store, "listdir", _no_list)
+    t_c = Z.open_zarr_datatree(spark, "s3://engine-test/zstore/yax.zarr", client=client)
+    assert t_c.isomorphic(t_dir)
+    assert t_c["grp1"].data.count() == 10
