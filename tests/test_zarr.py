@@ -110,3 +110,50 @@ def test_lz4_block_roundtrip_against_fixture_bytes():
     assert np.allclose(vals, np.linspace(0.0, 100.0, 100))
     nbytes = struct.unpack("<I", raw[4:8])[0]
     assert len(buf) == nbytes == 800
+
+
+def test_tree_to_zarr_roundtrip_native(spark, tmp_path):
+    """S10 native round trip (reference to_zarr, src/YAXTrees.jl:748-773):
+    open the reference fixture, write it back as a Zarr v2 store, re-open
+    — isomorphic tree, identical values, NULL sentinels preserved, and
+    the rewritten store opens consolidated (one .zmetadata read)."""
+    from copernicusdata_jl_spark.sources.zarr import open_zarr_datatree
+
+    t = open_zarr_datatree(spark, f"{REF}/yax.zarr")
+    out = str(tmp_path / "copy.zarr")
+    t.to_zarr(out)
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        t.to_zarr(out)  # refuse-overwrite, like the reference
+    back = open_zarr_datatree(spark, out)
+    assert back.isomorphic(t)
+    a = [tuple(r) for r in t.data.orderBy("idx_Dim_1").collect()]
+    b = [tuple(r) for r in back.data.orderBy("idx_Dim_1").collect()]
+    assert a == b
+    g1 = [tuple(r) for r in t["grp1"].data.orderBy("idx_Dim_1").collect()]
+    g2 = [tuple(r) for r in back["grp1"].data.orderBy("idx_Dim_1").collect()]
+    assert g1 == g2
+    import os
+
+    assert os.path.exists(os.path.join(out, ".zmetadata"))
+
+
+def test_to_zarr_null_sentinel_roundtrip(spark, tmp_path):
+    """NULLs written through the recorded missing_value sentinel come back
+    as NULLs."""
+    from copernicusdata_jl_spark.sources.datatree import DataTree
+    from copernicusdata_jl_spark.sources.zarr import open_zarr_datatree
+    from pyspark.sql import functions as F
+
+    df = spark.range(6).select(
+        F.col("id").alias("idx_t"),
+        F.when(F.col("id") == 3, None).otherwise(F.col("id") * 1.5).alias("v"),
+    )
+    t = DataTree("x", properties={"missing_value": {"v": 1.0e32}})
+    t.data = df
+    out = str(tmp_path / "n.zarr")
+    t.to_zarr(out)
+    back = open_zarr_datatree(spark, out)
+    got = {r["idx_t"]: r["v"] for r in back.data.collect()}
+    assert got[3] is None and got[2] == 3.0 and len(got) == 6
