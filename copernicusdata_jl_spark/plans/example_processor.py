@@ -46,3 +46,17 @@ def cell_counts(inputs, adfs, spark=None, res: int = 5, **kwargs) -> DataTree:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return out
+
+
+def layer_stats(inputs, adfs, spark=None, var: str = "layer", **kwargs) -> DataTree:
+    """Quickstart-parity unit (reference docs/src/quickstart.md:43-44):
+    null-skipping min/max/count over a measurement variable of a NATIVE
+    zarr product — Spark aggregates skip NULLs exactly like the
+    reference's ``skipmissing`` after fill normalization."""
+    tree = inputs[0]
+    src = tree.data if tree.data is not None else next(n for n in tree if n.data is not None).data
+    out = DataTree(tree.name + "_stats")
+    out.data = src.agg(
+        F.count(var).alias("n"), F.min(var).alias("vmin"), F.max(var).alias("vmax")
+    )
+    return out

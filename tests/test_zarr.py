@@ -157,3 +157,39 @@ def test_to_zarr_null_sentinel_roundtrip(spark, tmp_path):
     back = open_zarr_datatree(spark, out)
     got = {r["idx_t"]: r["v"] for r in back.data.collect()}
     assert got[3] is None and got[2] == 3.0 and len(got) == 6
+
+
+def test_payload_binds_reference_zarr_zip(spark, tmp_path):
+    """The reference's own payload shape (test/resources/payload.toml:
+    inputs_products path=resources/yax.zarr.zip, store_type='zarr') runs
+    through our orchestrator against the reference's actual store: bind
+    the zipped zarr product natively, compute skipmissing-style stats."""
+    from copernicusdata_jl_spark.plans import payload as P
+
+    toml = tmp_path / "p.toml"
+    toml.write_text(
+        f"""
+[[workflow]]
+module = "copernicusdata_jl_spark.plans.example_processor"
+processing_unit = "layer_stats"
+name = "stats"
+inputs = ["yax-input"]
+
+["I/O"]
+  [["I/O".inputs_products]]
+  id = "yax-input"
+  path = "{REF}/yax.zarr.zip"
+  store_type = "zarr"
+
+[breakpoints]
+related_unit = []
+break_mode = "soft"
+storage = "bp"
+
+[logging]
+level = "warning"
+"""
+    )
+    outs = P.run(str(toml), spark)
+    row = outs["stats"].data.first()
+    assert row["n"] == 100 and row["vmin"] == 0.0 and row["vmax"] == 100.0
