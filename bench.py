@@ -36,6 +36,7 @@ HEADLINE = [
     # scheduling, not the operator
     "stratified_sample",
     "asof_join",
+    "sessionize",
     "winnowing",
     "simhash",
     "token_quality",

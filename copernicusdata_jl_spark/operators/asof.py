@@ -26,6 +26,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: events of a key whose timestamps are
+    within ``gap_seconds`` of the previous event share a session;
+    ``session_col`` numbers sessions per key from 1 in time order.
+
+    The classic large-scale formulation — ONE shuffle by key, then two
+    windowed passes over the sorted partition (lag to flag gaps,
+    running sum to number sessions); no self-join, no state beyond the
+    sort. Streaming twin: ``session_window``/``applyInPandasWithState``
+    (streaming/windowed.py keeps per-key state for the incremental
+    case)."""
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # unix_timestamp = whole-second truncation (TIMESTAMP_NTZ in a UTC
+    # session); the oracle mirrors it with floor(epoch(ts))
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return df.withColumn("_new", new_session).withColumn(
+        session_col,
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    ).drop("_new")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

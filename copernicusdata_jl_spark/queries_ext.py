@@ -105,6 +105,56 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_duplicates(docs, pairs, "doc_id").orderBy("doc_id")
 
 
+_SESSION_GAP = 43_200  # 12 h
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Gap-based sessionization: per-user event sessions with a 12-hour
+    inactivity gap, aggregated to (n_events, first/last ts, decimal-exact
+    value sum) per session. Single shuffle by user + two windowed passes
+    (operators/asof.sessionize) — the canonical clickstream building
+    block."""
+    from .operators.asof import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", _SESSION_GAP)
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def _sessionize_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {_SESSION_GAP}
+              THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+t AS (
+  SELECT user_id, ts, value,
+         CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM t GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """☆ As-of join: every purchase event gets the user's latest click at
     or before it (attribution / point-in-time snapshot semantics — the
@@ -622,6 +672,7 @@ EXT_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "neardup_components": (q_neardup_components, _components_sql()),
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
     "asof_join": (q_asof_join, _asof_sql()),
+    "sessionize": (q_sessionize, _sessionize_sql()),
     "winnowing": (q_winnowing, _winnowing_sql()),
     "simhash": (q_simhash, _simhash_sql()),
     "simhash_neardup": (q_simhash_neardup, _simhash_neardup_sql()),

@@ -68,3 +68,27 @@ def test_plan_single_shuffle_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_sessionize_gaps_and_numbering(spark):
+    from copernicusdata_jl_spark.operators.asof import sessionize
+
+    rows = [
+        (1, _t("2024-01-01T00:00"), 1),
+        (1, _t("2024-01-01T00:10"), 2),   # within 30min gap -> same session
+        (1, _t("2024-01-01T02:00"), 3),   # gap > 30min -> new session
+        (1, _t("2024-01-01T02:20"), 4),
+        (2, _t("2024-01-01T00:05"), 5),   # other key: own numbering
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = {r.event_id: r.session_id for r in sessionize(df, ["user_id"], "ts", 1800).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_boundary_is_strict_greater(spark):
+    from copernicusdata_jl_spark.operators.asof import sessionize
+
+    rows = [(1, _t("2024-01-01T00:00"), 1), (1, _t("2024-01-01T00:30"), 2)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = {r.event_id: r.session_id for r in sessionize(df, ["user_id"], "ts", 1800).collect()}
+    assert out == {1: 1, 2: 1}  # exactly gap seconds apart -> same session
