@@ -1,0 +1,201 @@
+"""☆ Corpus-hygiene operators for training-data pipelines (north-rule
+extension beyond the reference; see SURVEY.md §2 ☆ suite).
+
+Four operators a 100 TB web-text pipeline runs between dedup and training,
+each expressed as declarative DataFrame plans (no Python on the data path):
+
+- :func:`decontaminate` — benchmark n-gram decontamination (flag training
+  documents sharing any n-gram with a held-out eval set; Brown et al. 2020
+  §C "13-gram dedup", Touvron et al. 2023). The eval set is orders of
+  magnitude smaller than the corpus, so its distinct grams BROADCAST and
+  the corpus scan never shuffles data — only per-doc hit counts do.
+- :func:`dup_span_stats` — cross-document duplicated-span detection
+  (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+  Better"): the Spark-native approximation of their suffix-array pass is
+  positional k-gram multiplicity — one explode, one count-distinct-docs
+  aggregate per gram, one co-partitioned join back (AQE reuses the
+  hash partitioning on ``gram`` from the aggregate for the join).
+- :func:`unigram_logprob` — corpus-LM quality score (CCNet, Wenzek et al.
+  2020, with the KenLM stage reduced to its unigram term): pass 1
+  aggregates token frequencies (map-side partials; vocab is tiny relative
+  to the corpus), pass 2 broadcast-joins log-probs onto exploded tokens
+  and averages per document. OOV tokens get add-one smoothing mass.
+- :func:`host_frequency_cap` — per-host document cap (CCNet/C4 keep at
+  most N pages per host to stop boilerplate farms from dominating the
+  mix): deterministic hash-ordered rank per host via the two-phase
+  ``topk_per_group`` (local prune to ≤ cap per partition, then the global
+  window only ranks survivors — a mega-host never funnels all its rows
+  through one task before pruning).
+
+Reference provenance: the reference has no corpus layer (it is a granule
+engine); these mirror its *style* — pure declarative plans + an exact SQL
+oracle twin per operator (src/YAXTrees.jl's select/where family is the
+pattern: every op is an expression over arrays, never a driver loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_ngrams_expr
+from .knn import topk_per_group
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with ``benchmark``.
+
+    Returns ``(id_col, n_contaminated)`` for contaminated documents only —
+    the list a pipeline quarantines before training. ``n_contaminated``
+    counts the document's DISTINCT grams that hit the benchmark set.
+
+    Scale shape: ``benchmark`` grams are distinct-reduced then BROADCAST
+    (eval suites are ~MBs against a ~100 TB corpus); the corpus side
+    explodes its distinct grams map-side and the only shuffle carries
+    (id, count) pairs for documents with ≥1 hit.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        id_col, F.explode(word_ngrams_expr(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+def dup_span_stats(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics via positional k-grams.
+
+    A position is *duplicated* when its k-gram occurs in ≥ ``min_docs``
+    distinct documents. Returns one row per document:
+    ``(id, total_grams, dup_grams, dup_ratio)`` — the per-doc signal Lee
+    et al. threshold to drop or trim documents built from boilerplate.
+
+    Scale shape: ``total_grams`` is computed map-side from the token count
+    (no explode); the positional explode feeds ONE aggregate keyed by gram
+    (map-side partial count-distinct via the (gram, doc) pre-distinct) and
+    the join back to positions reuses that hash partitioning (AQE); at
+    100 TB the gram key would be a 64-bit ``xxhash64`` instead of the
+    string (same plan, 8-byte keys) — the string key here keeps the DuckDB
+    oracle exact.
+    """
+    toks = F.split(F.col(text_col), " ")
+    total = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    base = corpus.select(F.col(id_col), total.alias("total_grams"),
+                         word_ngrams_expr(F.col(text_col), k, distinct=False).alias("_g"))
+    pos = base.select(id_col, F.explode("_g").alias("gram"))
+    hot = (
+        pos.select(id_col, "gram").distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    dup = pos.join(hot, "gram").groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_grams"))
+    return (
+        base.select(id_col, "total_grams")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            "total_grams",
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.when(F.col("total_grams") > 0,
+                   F.round(F.coalesce("dup_grams", F.lit(0)) / F.col("total_grams"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+    )
+
+
+def unigram_token_stats(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pass 1 of :func:`unigram_logprob`: ``(tok, cnt)`` corpus frequencies.
+    One explode + one hash aggregate with map-side partials."""
+    return (
+        corpus.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_logprob(
+    corpus: DataFrame,
+    stats: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Average unigram log-probability per document (CCNet-style quality
+    score, unigram reduction). Higher = closer to the corpus distribution.
+
+    ``p(tok) = (cnt + 1) / (total + |V|)`` (add-one smoothing, so a
+    sub-corpus scored against full-corpus ``stats`` never hits log(0)).
+    Returns ``(id, n_tokens, avg_logp)`` with ``avg_logp`` rounded to 4dp
+    (both engines round identically; unrounded doubles differ in the last
+    ulp across summation orders).
+
+    Scale shape: ``stats`` is |vocab|-sized (≤ a few M rows for web text)
+    → BROADCAST onto the exploded tokens; per-doc average shuffles only
+    (id, partial-sum) pairs. Pass ``stats`` explicitly to score a slice
+    against frequencies of the full corpus (the production shape).
+    """
+    if stats is None:
+        stats = unigram_token_stats(corpus, text_col)
+    totals = stats.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    scored = stats.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log((F.col("cnt") + 1) / (F.col("_total") + F.col("_vocab"))).alias("logp"),
+    )
+    toks = corpus.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    return (
+        toks.join(F.broadcast(scored), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+        )
+    )
+
+
+def host_frequency_cap(
+    corpus: DataFrame,
+    cap: int,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per host, chosen deterministically.
+
+    Selection key is ``md5(id)`` — an unbiased, partitioning/resume-stable
+    sample of each host (re-running after adding files keeps the same
+    winners unless new docs hash earlier). Returns
+    ``(id, host, rk)`` for survivors, ``rk`` in [1, cap].
+
+    Scale shape: two-phase top-k (``topk_per_group``) — each input
+    partition locally prunes to ≤ cap rows per host BEFORE the shuffle, so
+    a 10^9-page host contributes cap × n_partitions rows to the window,
+    not 10^9.
+    """
+    sel = corpus.select(
+        F.col(id_col), F.col(host_col).alias("host"),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
+    )
+    kept = topk_per_group(sel, ["host"], [F.col("_ord").asc(), F.col(id_col).asc()],
+                          cap, rank_col="rk")
+    return kept.select(id_col, "host", "rk")

@@ -74,8 +74,10 @@ def affine_sql(base_expr: str, j: int) -> str:
 # ---------------------------------------------------------------------------
 
 
-def word_ngrams_expr(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of ``text`` (single-space tokenized).
+def word_ngrams_expr(text: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of ``text`` (single-space tokenized), distinct
+    by default (shingle-set semantics); ``distinct=False`` keeps one gram
+    per position, in order (span semantics — operators/corpus.py).
 
     Built from ``slice`` + folded ``zip_with`` over n shifted views of the
     token array. Deliberately NOT ``transform(sequence, element_at(toks, i))``:
@@ -91,17 +93,18 @@ def word_ngrams_expr(text: Column, n: int = 3) -> Column:
     out = F.slice(toks, 1, cnt)
     for j in range(1, n):
         out = F.zip_with(out, F.slice(toks, j + 1, cnt), lambda x, y: F.concat_ws(" ", x, y))
-    return F.coalesce(F.array_distinct(out), F.array().cast("array<string>"))
+    if distinct:
+        out = F.array_distinct(out)
+    return F.coalesce(out, F.array().cast("array<string>"))
 
 
-def word_ngrams_sql(text_expr: str, n: int = 3) -> str:
+def word_ngrams_sql(text_expr: str, n: int = 3, distinct: bool = True) -> str:
     toks = f"string_split({text_expr}, ' ')"
     gram = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
-    return (
-        f"CASE WHEN len({toks}) >= {n} THEN "
-        f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), i -> {gram})) "
-        f"ELSE CAST([] AS VARCHAR[]) END"
-    )
+    grams = f"list_transform(range(1, len({toks}) - {n - 2}), i -> {gram})"
+    if distinct:
+        grams = f"list_distinct({grams})"
+    return f"CASE WHEN len({toks}) >= {n} THEN {grams} ELSE CAST([] AS VARCHAR[]) END"
 
 
 # ---------------------------------------------------------------------------

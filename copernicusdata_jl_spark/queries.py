@@ -700,3 +700,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 from .queries_ext import EXT_REGISTRY as _EXT
 
 REGISTRY.update(_EXT)
+
+# corpus-hygiene suite (decontamination/span-dedup/LM-score/host-cap/PII)
+from .queries_llm import LLM_REGISTRY as _LLM
+
+REGISTRY.update(_LLM)

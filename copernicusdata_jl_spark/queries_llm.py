@@ -1,0 +1,206 @@
+"""☆ Corpus-hygiene query registry (operators/corpus.py, functions/pii.py):
+benchmark decontamination, duplicated-span stats, unigram-LM quality
+scoring, host frequency caps, and PII redaction — the layer a training-data
+pipeline runs between dedup and tokenization. Each entry is a
+(Spark callable, DuckDB oracle SQL) pair merged into the main REGISTRY.
+
+Parity rules as in queries.py: identical column aliases, explicit rounding
+on doubles, md5 for portable deterministic ordering, and regex patterns
+restricted to the Java-regex ∩ RE2 subset (functions/pii.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import pii as P
+from .operators import corpus as C
+from .operators import dedup as D
+from .queries_ext import load
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4  # 4-grams give a non-trivial contaminated set on the fixture vocab
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Benchmark decontamination (operators/corpus.decontaminate): docs
+    with doc_id % 50 == 0 stand in for a held-out eval suite; every other
+    document sharing a word 4-gram with it is flagged with its hit count.
+    The eval gram set broadcasts; the corpus never shuffles data rows."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    rest = docs.filter(F.col("doc_id") % 50 != 0)
+    return C.decontaminate(rest, bench, n=_DECON_N).orderBy("doc_id")
+
+
+def _decontaminate_sql() -> str:
+    grams = D.word_ngrams_sql("text", _DECON_N)
+    return f"""
+WITH g AS (SELECT doc_id, unnest({grams}) AS gram FROM documents),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+SELECT doc_id, count(*) AS n_contaminated
+FROM g JOIN bench USING (gram)
+WHERE doc_id % 50 <> 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span statistics
+# ---------------------------------------------------------------------------
+
+_SPAN_K, _SPAN_MIN_DOCS = 5, 2
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Cross-document duplicated-span stats (operators/corpus.
+    dup_span_stats, Lee et al. 2021 reduced to positional k-gram
+    multiplicity): per doc, how many of its 5-gram positions also occur in
+    ≥2 distinct documents."""
+    docs = load(spark, sf_dir, "documents")
+    return C.dup_span_stats(docs, k=_SPAN_K, min_docs=_SPAN_MIN_DOCS).orderBy("doc_id")
+
+
+def _dup_spans_sql() -> str:
+    k = _SPAN_K
+    grams = D.word_ngrams_sql("text", k, distinct=False)
+    return f"""
+WITH base AS (
+  SELECT doc_id, greatest(len(string_split(text, ' ')) - {k - 1}, 0) AS total_grams
+  FROM documents),
+g AS (SELECT doc_id, unnest({grams}) AS gram FROM documents),
+hot AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram) t
+  WHERE nd >= {_SPAN_MIN_DOCS}),
+d AS (SELECT doc_id, count(*) AS dup_grams FROM g JOIN hot USING (gram) GROUP BY doc_id)
+SELECT b.doc_id, b.total_grams,
+       coalesce(d.dup_grams, 0) AS dup_grams,
+       CASE WHEN b.total_grams > 0
+            THEN round(coalesce(d.dup_grams, 0) / b.total_grams, 6)
+            ELSE 0.0 END AS dup_ratio
+FROM base b LEFT JOIN d USING (doc_id) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality score
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Corpus-LM quality score (operators/corpus.unigram_logprob, CCNet
+    unigram reduction): avg add-one-smoothed unigram log-prob per doc; the
+    vocab stats broadcast back onto the exploded tokens."""
+    docs = load(spark, sf_dir, "documents")
+    return C.unigram_logprob(docs).orderBy("doc_id")
+
+
+def _unigram_logprob_sql() -> str:
+    return """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+s AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM s),
+lp AS (SELECT tok, ln((cnt + 1.0) / (total + vocab)) AS logp FROM s, tot)
+SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 4) AS avg_logp
+FROM t JOIN lp USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# host frequency cap
+# ---------------------------------------------------------------------------
+
+_HOST_CAP = 10
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Per-host document cap (operators/corpus.host_frequency_cap, C4/
+    CCNet style): keep ≤10 docs per source, ranked by md5(doc_id) — a
+    deterministic unbiased per-host sample via two-phase top-k."""
+    docs = load(spark, sf_dir, "documents")
+    return C.host_frequency_cap(docs, cap=_HOST_CAP).orderBy("host", "rk")
+
+
+def _host_cap_sql() -> str:
+    return f"""
+SELECT doc_id, host, rk FROM (
+  SELECT doc_id, source AS host,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= {_HOST_CAP} ORDER BY host, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def _messy_text_expr() -> F.Column:
+    """Deterministic PII injected into the fixture text (the fixture corpus
+    itself contains none): every doc gets an email, even docs an IPv4,
+    doc_id % 3 == 0 docs a phone number."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@mail.example.com"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" call +1 555-123-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+    )
+
+
+def _messy_text_sql() -> str:
+    return (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' call +1 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ PII redaction (functions/pii.py): scrub emails/phones/IPv4 into
+    typed placeholders and count each class — pure Catalyst regexp ops in
+    whole-stage codegen, RE2-compatible patterns for the DuckDB twin."""
+    docs = load(spark, sf_dir, "documents")
+    messy = _messy_text_expr()
+    return docs.select(
+        "doc_id",
+        P.pii_count_expr(messy, "email").alias("n_email"),
+        P.pii_count_expr(messy, "phone").alias("n_phone"),
+        P.pii_count_expr(messy, "ipv4").alias("n_ip"),
+        P.redact_pii_expr(messy).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+def _pii_redact_sql() -> str:
+    m = _messy_text_sql()
+    return f"""
+SELECT doc_id,
+       {P.pii_count_sql(m, "email")} AS n_email,
+       {P.pii_count_sql(m, "phone")} AS n_phone,
+       {P.pii_count_sql(m, "ipv4")} AS n_ip,
+       {P.redact_pii_sql(m)} AS redacted
+FROM documents ORDER BY doc_id
+"""
+
+
+LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "decontaminate": (q_decontaminate, _decontaminate_sql()),
+    "dup_spans": (q_dup_spans, _dup_spans_sql()),
+    "unigram_logprob": (q_unigram_logprob, _unigram_logprob_sql()),
+    "host_cap": (q_host_cap, _host_cap_sql()),
+    "pii_redact": (q_pii_redact, _pii_redact_sql()),
+}

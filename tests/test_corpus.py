@@ -1,0 +1,195 @@
+"""Corpus-hygiene suite (operators/corpus.py, functions/pii.py): semantics
+pinned on hand fixtures, plan shapes pinned for the scale claims."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from copernicusdata_jl_spark.functions import pii as P
+from copernicusdata_jl_spark.operators import corpus as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps high")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "we saw the quick brown fox yesterday"),
+            (2, "entirely different words here okay"),
+            (3, "quick brown fox jumps and the quick brown fox jumps again"),
+        ],
+    )
+    out = {r.doc_id: r.n_contaminated for r in C.decontaminate(corpus, bench, n=4).collect()}
+    # doc 1 shares exactly "the quick brown fox"; doc 3 shares that AND
+    # "quick brown fox jumps" (distinct grams per doc, repeats count once);
+    # doc 2 is clean and therefore absent.
+    assert out == {1: 1, 3: 2}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    bench = _docs(spark, [(100, "a b c d")])
+    corpus = _docs(spark, [(1, "a b c d e")])
+    plan = C.decontaminate(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# dup_span_stats
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_stats_counts_positions(spark):
+    # "a b c d e" appears in docs 1 and 2 → its single 5-gram position is
+    # duplicated in both; doc 3 is unique; doc 4 is shorter than k.
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b c d e x y z w v"),
+            (2, "q a b c d e"),
+            (3, "p q r s t u"),
+            (4, "a b c"),
+        ],
+    )
+    rows = {r.doc_id: r for r in C.dup_span_stats(corpus, k=5).collect()}
+    assert rows[1].total_grams == 6 and rows[1].dup_grams == 1
+    assert rows[2].total_grams == 2 and rows[2].dup_grams == 1
+    assert rows[3].total_grams == 2 and rows[3].dup_grams == 0
+    assert rows[4].total_grams == 0 and rows[4].dup_ratio == 0.0
+    assert abs(rows[1].dup_ratio - 1 / 6) < 1e-6
+
+
+def test_dup_span_stats_within_doc_repeat_not_duplicated(spark):
+    # the same 5-gram twice in ONE doc is not a cross-document duplicate
+    corpus = _docs(spark, [(1, "a b c d e a b c d e"), (2, "z y x w v u")])
+    rows = {r.doc_id: r for r in C.dup_span_stats(corpus, k=5).collect()}
+    assert rows[1].dup_grams == 0
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_hand_value(spark):
+    import math
+
+    corpus = _docs(spark, [(1, "a a b"), (2, "b")])
+    # counts: a=2, b=2; total=4, vocab=2 → p = (cnt+1)/6
+    rows = {r.doc_id: r for r in C.unigram_logprob(corpus).collect()}
+    lp = math.log(3 / 6)
+    assert rows[1].n_tokens == 3
+    assert abs(rows[1].avg_logp - round(lp, 4)) < 1e-9
+    assert abs(rows[2].avg_logp - round(lp, 4)) < 1e-9
+
+
+def test_unigram_logprob_external_stats_smooths_oov(spark):
+    # scoring a slice against OTHER stats: oov token gets add-one mass
+    stats_src = _docs(spark, [(1, "a a a b")])
+    stats = C.unigram_token_stats(stats_src)
+    slice_df = _docs(spark, [(9, "zzz")])
+    # oov join drops the token entirely → document absent (strict inner
+    # semantics documented); known tokens score fine
+    known = _docs(spark, [(8, "a b")])
+    rows = C.unigram_logprob(known, stats=stats).collect()
+    assert rows[0].n_tokens == 2
+    out = C.unigram_logprob(slice_df, stats=stats).collect()
+    assert out == []  # oov-only doc has no scored tokens
+
+
+# ---------------------------------------------------------------------------
+# host_frequency_cap
+# ---------------------------------------------------------------------------
+
+
+def test_host_cap_respects_cap_and_is_partition_invariant(spark):
+    rows = [(i, f"doc {i}", f"host{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept1 = sorted((r.host, r.rk, r.doc_id) for r in C.host_frequency_cap(df, cap=5).collect())
+    kept2 = sorted(
+        (r.host, r.rk, r.doc_id)
+        for r in C.host_frequency_cap(df.repartition(13), cap=5).collect()
+    )
+    assert kept1 == kept2  # md5 order is partitioning-invariant
+    assert len(kept1) == 15
+    per_host = {}
+    for h, rk, _ in kept1:
+        per_host.setdefault(h, []).append(rk)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_host.values())
+
+
+def test_host_cap_keeps_small_hosts_whole(spark):
+    df = spark.createDataFrame(
+        [(1, "t", "tiny"), (2, "t", "tiny")], "doc_id long, text string, source string"
+    )
+    assert C.host_frequency_cap(df, cap=10).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or +1 555-123-4567 from 192.168.0.1"),
+            (2, "no pii here at all"),
+            (3, "edge a@192.168.0.1.example.com ip-in-email-domain"),
+            (4, "bare a@192.168.0.1 numeric-tld is not an email"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            P.redact_pii_expr(F.col("text")).alias("red"),
+            P.pii_count_expr(F.col("text"), "email").alias("ne"),
+            P.pii_count_expr(F.col("text"), "phone").alias("np"),
+            P.pii_count_expr(F.col("text"), "ipv4").alias("ni"),
+        ).collect()
+    }
+    assert out[1].red == "mail me at <EMAIL> or <PHONE> from <IP>"
+    assert (out[1].ne, out[1].np, out[1].ni) == (1, 1, 1)
+    assert out[2].red == "no pii here at all"
+    assert (out[2].ne, out[2].np, out[2].ni) == (0, 0, 0)
+    # an IP inside an email's domain is attributed to the EMAIL rule…
+    assert out[3].red == "edge <EMAIL> ip-in-email-domain"
+    assert (out[3].ne, out[3].np, out[3].ni) == (1, 0, 0)
+    # …but an all-numeric "domain" is no email (alpha TLD required); the
+    # embedded address still gets scrubbed by the IP rule
+    assert out[4].red == "bare a@<IP> numeric-tld is not an email"
+    assert (out[4].ne, out[4].np, out[4].ni) == (0, 0, 1)
+
+
+def test_pii_duckdb_twin_matches_spark(spark):
+    import duckdb
+
+    texts = [
+        "a b c x@y.io d 10.0.0.1 +12 555-000-1111 end",
+        "plain",
+        "two mails a@b.co c@d.org and ip 8.8.8.8",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    sres = (
+        df.select("doc_id", P.redact_pii_expr(F.col("text")).alias("red"),
+                  P.pii_count_expr(F.col("text"), "email").alias("ne"))
+        .orderBy("doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    dres = con.execute(
+        f"SELECT doc_id, {P.redact_pii_sql('text')} AS red, "
+        f"{P.pii_count_sql('text', 'email')} AS ne FROM t ORDER BY doc_id"
+    ).fetchall()
+    assert [(r.doc_id, r.red, r.ne) for r in sres] == [tuple(r) for r in dres]
