@@ -85,16 +85,126 @@ def test_roundtrip_zlib_multichunk_edge_and_hole(spark, tmp_path):
 
 
 def test_blosc_decoder_errors_are_loud():
+    import struct
+    import zlib
+
     from copernicusdata_jl_spark.sources.zarr import blosc_decompress
 
     with pytest.raises(ValueError):
         blosc_decompress(b"short")
-    # bit-shuffle flag (0x4) must refuse, never return wrong bytes
-    import struct
-
-    hdr = bytes([2, 1, 0x4, 8]) + struct.pack("<III", 16, 16, 16)
+    # an unsupported inner codec (zstd, id 5) must refuse, never return
+    # wrong bytes
+    payload = zlib.compress(b"\x00" * 16)
+    body = struct.pack("<I", len(payload)) + payload
+    hdr = bytes([2, 1, 5 << 5, 8]) + struct.pack("<III", 16, 16, 16 + 4 + len(body))
+    chunk = hdr + struct.pack("<I", 20) + body
     with pytest.raises(NotImplementedError):
-        blosc_decompress(hdr)
+        blosc_decompress(chunk)
+
+
+def test_bitshuffle_roundtrip_properties():
+    """_bit_shuffle/_bit_unshuffle are exact inverses across typesizes,
+    odd element counts (leftover elements copied verbatim per the c-blosc
+    wrapper), and partial trailing bytes."""
+    from copernicusdata_jl_spark.sources.zarr import _bit_shuffle, _bit_unshuffle
+
+    rng = np.random.default_rng(7)
+    for typesize in (1, 2, 4, 8):
+        for n_elem in (8, 16, 64, 11, 3):  # 11, 3 → non-multiple-of-8 tails
+            buf = rng.integers(0, 256, n_elem * typesize, dtype=np.uint8).tobytes()
+            s = _bit_shuffle(buf, typesize)
+            assert len(s) == len(buf)
+            assert _bit_unshuffle(s, typesize) == buf
+    # partial element tail bytes also survive
+    buf = rng.integers(0, 256, 8 * 4 + 3, dtype=np.uint8).tobytes()
+    assert _bit_unshuffle(_bit_shuffle(buf, 4), 4) == buf
+    # layout pin (not just round-trip): for 1-byte elements, plane ii's
+    # first byte packs bit ii of elements 0..7, LSB-first
+    raw = bytes([0b1, 0b0, 0b1, 0b0, 0b1, 0b0, 0b1, 0b0])  # bit0 alternates
+    s = _bit_shuffle(raw, 1)
+    assert s[0] == 0b01010101  # elements 0,2,4,6 have bit0 set
+    assert all(b == 0 for b in s[1:])
+
+
+def test_blosc_bitshuffle_chunk_decodes():
+    """A spec-shaped blosc chunk with the BITSHUFFLE flag (0x4) and zlib
+    inner codec decodes to the original buffer — both the block path and
+    the memcpyed path."""
+    import struct
+    import zlib
+
+    from copernicusdata_jl_spark.sources.zarr import _bit_shuffle, blosc_decompress
+
+    data = np.arange(48, dtype="<i4").tobytes()  # 192 bytes, typesize 4
+    shuffled = _bit_shuffle(data, 4)
+    payload = zlib.compress(shuffled)
+    body = struct.pack("<I", len(payload)) + payload
+    bstart = 16 + 4  # header + one block-offset entry
+    cbytes = bstart + len(body)
+    hdr = bytes([2, 1, 0x4 | (4 << 5), 4]) + struct.pack("<III", len(data), len(data), cbytes)
+    chunk = hdr + struct.pack("<I", bstart) + body
+    assert blosc_decompress(chunk) == data
+
+    # memcpyed flavor (0x2): payload is the shuffled buffer verbatim
+    hdr2 = bytes([2, 1, 0x4 | 0x2, 4]) + struct.pack("<III", len(data), len(data), 16 + len(data))
+    assert blosc_decompress(hdr2 + shuffled) == data
+
+
+def test_zarr_delta_filter_and_string_dtypes(spark, tmp_path):
+    """Handcrafted stores exercise the delta filter chain (numcodecs
+    semantics: stored astype, cumsum-decoded with wraparound) and
+    fixed-width string dtypes incl. the base64 |S fill_value rule."""
+    import base64
+    import json
+    import os
+    import zlib
+
+    from copernicusdata_jl_spark.sources.zarr import open_zarr_datatree, write_zarr_group
+
+    root = str(tmp_path / "f.zarr")
+    write_zarr_group(root)
+
+    # delta-filtered int32 array
+    vals = np.array([5, 7, 12, 11, 100, 100], dtype="<i4")
+    enc = np.diff(vals, prepend=vals[:1].astype("<i4") * 0)  # delta encode
+    enc[0] = vals[0]
+    d = os.path.join(root, "d")
+    os.makedirs(d)
+    json.dump(
+        {
+            "zarr_format": 2, "shape": [6], "chunks": [6], "dtype": "<i4",
+            "order": "C", "fill_value": None,
+            "filters": [{"id": "delta", "dtype": "<i4"}],
+            "compressor": {"id": "zlib", "level": 1},
+        },
+        open(os.path.join(d, ".zarray"), "w"),
+    )
+    json.dump({"_ARRAY_DIMENSIONS": ["i"]}, open(os.path.join(d, ".zattrs"), "w"))
+    open(os.path.join(d, "0"), "wb").write(zlib.compress(enc.astype("<i4").tobytes()))
+
+    # |S6 string array with base64 fill_value, one chunk missing → fill
+    s = os.path.join(root, "s")
+    os.makedirs(s)
+    json.dump(
+        {
+            "zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "|S6",
+            "order": "C", "fill_value": base64.b64encode(b"----").decode(),
+            "filters": None, "compressor": None,
+        },
+        open(os.path.join(s, ".zarray"), "w"),
+    )
+    json.dump({"_ARRAY_DIMENSIONS": ["i"]}, open(os.path.join(s, ".zattrs"), "w"))
+    open(os.path.join(s, "0"), "wb").write(np.array([b"alpha", b"beta"], dtype="|S6").tobytes())
+    # chunk "1" missing → both elements fill → NULL after normalization
+
+    t = open_zarr_datatree(spark, root)
+    # arrays of different shapes split into frames: shape-(4,) "s" sorts
+    # first (node.data), shape-(6,) "d" becomes the child node "d"
+    got_d = {r["idx_i"]: r["d"] for r in t["d"].data.collect()}
+    assert got_d == {i: int(v) for i, v in enumerate(vals)}
+    got_s = {r["idx_i"]: r["s"] for r in t.data.collect()}
+    assert got_s[0] == b"alpha" and got_s[1] == b"beta"
+    assert got_s[2] is None and got_s[3] is None
 
 
 def test_lz4_block_roundtrip_against_fixture_bytes():
