@@ -8,18 +8,24 @@ work against completed lineage and recomputes only what's missing.
 
 The checksum is an order-insensitive BIT_XOR of row hashes — stable under
 any partitioning/shuffle order, so resume verification works no matter how
-AQE re-plans the job. Checkpoint storage here is a parquet directory
-(append-only, one file set per run_id); on a real cluster this is an
-Iceberg table so commits are atomic snapshots — the protocol (columns,
-bucket key, anti-join) is identical.
+AQE re-plans the job. Checkpoint storage: ``atomic=True`` (the default for
+:func:`run_with_resume`) commits through :class:`..operators.snapshot.
+SnapshotTable` — manifest-listed parquet with atomic create-if-absent
+publishes, so a crashed run can never expose a torn checkpoint to the next
+resume (Iceberg's guarantee, implemented locally; the jar-backed catalog
+drops into the same seam). ``atomic=False`` is the plain append-only
+parquet directory. Reads auto-detect the layout.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup as _d
+from .snapshot import SnapshotTable
 
 LINEAGE_COLS = ["bucket", "cell_min", "cell_max", "row_count", "checksum"]
 
@@ -51,12 +57,23 @@ def lineage_rows(
     )
 
 
-def write_checkpoint(lineage: DataFrame, path: str, run_id: str) -> None:
-    """Append this run's lineage snapshot (run_id column added)."""
-    lineage.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(path)
+def write_checkpoint(lineage: DataFrame, path: str, run_id: str, atomic: bool = False) -> None:
+    """Append this run's lineage snapshot (run_id column added).
+    ``atomic=True`` publishes through the SnapshotTable manifest protocol
+    (readers see all of this run's rows or none of them)."""
+    df = lineage.withColumn("run_id", F.lit(run_id))
+    if atomic:
+        SnapshotTable(path).commit(df, run_id)
+    else:
+        df.write.mode("append").parquet(path)
 
 
 def read_checkpoint(spark: SparkSession, path: str) -> DataFrame | None:
+    """Layout auto-detect: a ``_manifests/`` dir means snapshot-committed
+    (read the latest manifest's files only — orphans from crashed runs are
+    invisible); otherwise the plain parquet directory."""
+    if os.path.isdir(os.path.join(path, "_manifests")):
+        return SnapshotTable(path).read(spark)
     try:
         return spark.read.parquet(path)
     except Exception:
@@ -77,10 +94,13 @@ def run_with_resume(
     checkpoint_path: str,
     run_id: str,
     cell_col: str = "cell_id",
+    atomic: bool = True,
 ) -> tuple[DataFrame, int]:
     """Compute lineage for buckets not yet checkpointed, append them, and
     return (lineage_df_written, n_buckets_skipped). Idempotent: a second
-    call with the same checkpoint writes nothing."""
+    call with the same checkpoint writes nothing. With ``atomic`` (default)
+    a run killed mid-commit leaves the checkpoint exactly as before — the
+    retry recomputes that run's buckets instead of trusting torn state."""
     spark = df.sparkSession
     ckpt = read_checkpoint(spark, checkpoint_path)
     total = df.select(bucket_col).distinct()
@@ -89,5 +109,5 @@ def run_with_resume(
     fresh = df.join(todo, bucket_col, "left_semi")
     lin = lineage_rows(fresh, bucket_col, cell_col)
     if lin.limit(1).count() > 0:
-        write_checkpoint(lin, checkpoint_path, run_id)
+        write_checkpoint(lin, checkpoint_path, run_id, atomic=atomic)
     return lin, n_skip

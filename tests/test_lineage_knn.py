@@ -74,7 +74,7 @@ def test_resume_idempotent(spark, cellified, tmp_path):
     lin2, skip2 = L.run_with_resume(cellified, "bucket", ckpt, "run2", "cell_id")
     assert skip2 == 8 and lin2.count() == 0
     # checkpoint table holds exactly one snapshot per bucket
-    ck = spark.read.parquet(ckpt)
+    ck = L.read_checkpoint(spark, ckpt)
     assert ck.count() == 8 and ck.select("run_id").distinct().count() == 1
 
 
@@ -87,7 +87,7 @@ def test_resume_after_partial_checkpoint(spark, cellified, tmp_path):
     done = {r.bucket for r in lin2.select("bucket").collect()}
     assert done == {4, 5, 6, 7}
     # full checkpoint now covers all buckets; totals add up to input rows
-    ck = spark.read.parquet(ckpt)
+    ck = L.read_checkpoint(spark, ckpt)
     assert ck.agg(F.sum("row_count")).first()[0] == 400
 
 

@@ -1,0 +1,92 @@
+"""Atomic snapshot table (operators/snapshot.py) and its lineage wiring:
+commit/read/time-travel, torn-write invisibility, version-collision retry."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from copernicusdata_jl_spark.operators import lineage as L
+from copernicusdata_jl_spark.operators.snapshot import CommitConflict, SnapshotTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_commit_read_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    assert t.read(spark) is None and t.latest_version() is None
+    v0 = t.commit(_df(spark, 0, 5), "run-a")
+    v1 = t.commit(_df(spark, 5, 8), "run-b")
+    assert (v0, v1) == (0, 1)
+    assert t.read(spark).count() == 8  # append semantics
+    assert t.read(spark, version=0).count() == 5  # time travel
+    assert t.manifest(1)["parent"] == 0
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(8))
+
+
+def test_crashed_commit_is_invisible_and_gc_able(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3), "ok")
+    # simulate a committer that died after writing data, before publishing
+    _df(spark, 100, 200).write.parquet(os.path.join(t.path, "data", "dead-commit"))
+    assert t.read(spark).count() == 3  # torn write invisible to readers
+    assert t.orphans() == ["dead-commit"]
+
+
+def test_version_collision_retries_and_rebases(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 2), "a")
+
+    # a publisher that loses the race once: before the first publish
+    # attempt, another committer lands v1 out from under us
+    raced = {"done": False}
+    real = SnapshotTable(str(tmp_path / "t"))
+
+    def racing_publish(tmp, final):
+        if not raced["done"]:
+            raced["done"] = True
+            real.commit(_df(spark, 50, 53), "interloper")
+        from copernicusdata_jl_spark.operators.snapshot import _publish_link
+
+        _publish_link(tmp, final)
+
+    t2 = SnapshotTable(str(tmp_path / "t"), publish=racing_publish)
+    v = t2.commit(_df(spark, 10, 14), "b")
+    # interloper took v1; our commit retried and landed v2 with a file
+    # list rebased on the interloper's snapshot
+    assert v == 2
+    assert t2.read(spark).count() == 2 + 3 + 4
+    assert t2.manifest(2)["parent"] == 1
+
+
+def test_publish_is_create_if_absent(tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    final = os.path.join(t._mdir(), "v00000000.json")
+    json.dump({"files": []}, open(final, "w"))
+    tmp = os.path.join(t._mdir(), ".tmp-x.json")
+    json.dump({"files": []}, open(tmp, "w"))
+    from copernicusdata_jl_spark.operators.snapshot import _publish_link
+
+    with pytest.raises(CommitConflict):
+        _publish_link(tmp, final)
+    assert not os.path.exists(tmp)  # tmp cleaned even on conflict
+
+
+def test_lineage_resume_over_atomic_checkpoint(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 40).selectExpr("id % 4 AS bucket", "id AS cell_id", "id AS x")
+    lin1, skip1 = L.run_with_resume(df, "bucket", ckpt, "run1", "cell_id", atomic=True)
+    assert (lin1.count(), skip1) == (4, 0)
+    # second run: everything checkpointed, nothing recomputed or written
+    lin2, skip2 = L.run_with_resume(df, "bucket", ckpt, "run2", "cell_id", atomic=True)
+    assert (lin2.count(), skip2) == (0, 4)
+    t = SnapshotTable(ckpt)
+    assert t.latest_version() == 0  # run2 committed nothing
+    # a torn lineage commit (data, no manifest) does not corrupt resume
+    _df(spark, 0, 1).write.parquet(os.path.join(ckpt, "data", "torn"))
+    lin3, skip3 = L.run_with_resume(df, "bucket", ckpt, "run3", "cell_id", atomic=True)
+    assert (lin3.count(), skip3) == (0, 4)
