@@ -664,6 +664,85 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# §2.4 extended aggregation surface: pivot / rollup / exact percentiles
+# ---------------------------------------------------------------------------
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: per-source language mix as a PIVOT (wide per-lang counts).
+    The value list is fixed, so Spark skips the distinct-values job and
+    the plan is a single hash aggregate with map-side partials — the
+    shuffle carries one row per source."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .count()
+        .na.fill(0, _PIVOT_LANGS)
+        .orderBy("source")
+    )
+
+
+Q_LANG_PIVOT_SQL = (
+    "SELECT source, "
+    + ", ".join(f"count(*) FILTER (WHERE lang = '{l}') AS \"{l}\"" for l in _PIVOT_LANGS)
+    + " FROM documents GROUP BY source ORDER BY source"
+)
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: ROLLUP over (lang, source) with grouping_id — subtotal and
+    grand-total rows in one aggregate (Spark expands grouping sets before
+    the single shuffle; no per-level re-scan)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "lang", "source")
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       GROUPING(lang, source) AS gid
+FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY gid, lang, source
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: exact per-group percentiles (linear interpolation between
+    closest ranks — the same definition as SQL quantile_cont). One
+    aggregate evaluating all three points in a single pass."""
+    d = load(spark, sf_dir, "documents")
+    a = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit([0.25, 0.5, 0.9])).alias("ps")
+    )
+    return a.select(
+        "lang",
+        F.round(F.element_at("ps", 1), 6).alias("p25"),
+        F.round(F.element_at("ps", 2), 6).alias("p50"),
+        F.round(F.element_at("ps", 3), 6).alias("p90"),
+    ).orderBy("lang")
+
+
+Q_PERCENTILES_SQL = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -694,6 +773,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "set_ops": (q_set_ops, Q_SET_OPS_SQL),
     "scalar_funcs": (q_scalar_funcs, Q_SCALAR_SQL),
     "cosine_topk": (q_cosine_topk, Q_COSINE_SQL),
+    "lang_pivot": (q_lang_pivot, Q_LANG_PIVOT_SQL),
+    "rollup_counts": (q_rollup_counts, Q_ROLLUP_SQL),
+    "percentiles": (q_percentiles, Q_PERCENTILES_SQL),
 }
 
 # extended suites (dedup/similarity/kNN/lineage) — merged registries
