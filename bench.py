@@ -51,6 +51,15 @@ HEADLINE = [
     "event_windows",
     "linear_interp",
     "media_meta",
+    # round-3 additions: corpus-hygiene + aggregation surface
+    "decontaminate",
+    "dup_spans",
+    "unigram_logprob",
+    "host_cap",
+    "pii_redact",
+    "lang_pivot",
+    "rollup_counts",
+    "percentiles",
 ]
 
 

@@ -672,9 +672,10 @@ _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4: per-source language mix as a PIVOT (wide per-lang counts).
-    The value list is fixed, so Spark skips the distinct-values job and
-    the plan is a single hash aggregate with map-side partials — the
-    shuffle carries one row per source."""
+    The value list is fixed, so Spark skips the distinct-values pre-JOB
+    entirely; the plan is count by (source, lang) then pivotfirst by
+    source — two map-side-partial aggregates whose shuffles carry only
+    aggregate rows."""
     d = load(spark, sf_dir, "documents")
     return (
         d.groupBy("source")

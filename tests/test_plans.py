@@ -121,3 +121,43 @@ def test_bm25_single_row_stats_broadcast(spark):
     plan = plan_of(q_bm25(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_corpus_hygiene_plans(spark):
+    """Corpus suite scale shapes: every join in decontaminate and
+    unigram_logprob is a broadcast (the corpus scan itself never feeds a
+    SortMergeJoin); PII redaction stays in whole-stage codegen with no
+    Python eval nodes."""
+    from copernicusdata_jl_spark.queries_llm import (
+        q_decontaminate,
+        q_pii_redact,
+        q_unigram_logprob,
+    )
+
+    for q in (q_decontaminate, q_unigram_logprob):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q.__name__
+
+    plan = plan_of(q_pii_redact(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no join, no aggregation: scan → project → final orderBy; the only
+    # exchange is the range partitioning for that sort
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_rollup_single_shuffle_and_pivot_partial_agg(spark):
+    """ROLLUP expands grouping sets BEFORE one exchange (no per-level
+    re-aggregation jobs); pivot with a fixed value list partial-aggregates
+    map-side."""
+    plan = plan_of(Q.q_rollup_counts(spark, SF_DIR))
+    # ONE hash exchange for all grouping-set levels (Expand feeds a single
+    # partial→final aggregate) — never one scan/shuffle per level
+    assert plan.count("hashpartitioning") == 1
+    assert "Expand" in plan and "partial_count" in plan
+    plan2 = plan_of(Q.q_lang_pivot(spark, SF_DIR))
+    # pivot = count by (source, lang) then pivotfirst by source: two hash
+    # exchanges, both carrying aggregate rows only, both map-side partial
+    assert plan2.count("hashpartitioning") == 2
+    assert "partial_count" in plan2 and "partial_pivotfirst" in plan2
