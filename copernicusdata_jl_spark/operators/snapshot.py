@@ -141,3 +141,23 @@ class SnapshotTable:
             live = {f.split("/")[1] for f in self.manifest(v)["files"]}
         ddir = os.path.join(self.path, "data")
         return sorted(d for d in os.listdir(ddir) if d not in live)
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete orphaned data directories and manifests older than the
+        newest ``keep_versions`` snapshots (time travel shrinks
+        accordingly; the latest snapshot is never touched). Because the
+        latest manifest is self-contained, vacuum never breaks a reader
+        that re-resolves the manifest; a reader holding an OLD version
+        open races with its deletion — the same contract as Iceberg's
+        expire_snapshots. Returns what was deleted."""
+        import shutil
+
+        deleted = []
+        for d in self.orphans():
+            shutil.rmtree(os.path.join(self.path, "data", d))
+            deleted.append(f"data/{d}")
+        vs = self.versions()
+        for v in vs[:-keep_versions] if keep_versions > 0 else []:
+            os.unlink(os.path.join(self._mdir(), f"v{v:08d}.json"))
+            deleted.append(f"_manifests/v{v:08d}.json")
+        return deleted

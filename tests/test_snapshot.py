@@ -76,6 +76,18 @@ def test_publish_is_create_if_absent(tmp_path):
     assert not os.path.exists(tmp)  # tmp cleaned even on conflict
 
 
+def test_vacuum_removes_orphans_keeps_latest_readable(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3), "a")
+    t.commit(_df(spark, 3, 7), "b")
+    _df(spark, 0, 1).write.parquet(os.path.join(t.path, "data", "dead"))
+    deleted = t.vacuum(keep_versions=1)
+    assert "data/dead" in deleted and "_manifests/v00000000.json" in deleted
+    assert t.versions() == [1]
+    assert t.read(spark).count() == 7  # latest snapshot intact (append semantics)
+    assert t.orphans() == []
+
+
 def test_lineage_resume_over_atomic_checkpoint(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     df = spark.range(0, 40).selectExpr("id % 4 AS bucket", "id AS cell_id", "id AS x")
