@@ -358,17 +358,28 @@ def open_datatree(
             driver = "json"
         elif path.endswith(".zarr") or (
             os.path.isdir(path)
-            and (os.path.exists(os.path.join(path, ".zgroup")) or os.path.exists(os.path.join(path, ".zarray")))
+            and any(
+                os.path.exists(os.path.join(path, m))
+                for m in (".zgroup", ".zarray", "zarr.json")
+            )
         ):
             driver = "zarr"
         elif path.endswith(".zip") and not os.path.isdir(path):
             # a .zip can hold either store: sniff for Zarr metadata members
-            # (the reference's ZipStore twin, src/YAXTrees.jl:454-455)
+            # (v2 .zgroup/.zarray or v3 zarr.json; the reference's ZipStore
+            # twin, src/YAXTrees.jl:454-455)
             import zipfile as _zf
 
             with _zf.ZipFile(path) as z:
                 names = z.namelist()
-            driver = "zarr" if any(n.rsplit("/", 1)[-1] in (".zgroup", ".zarray") for n in names) else "zip"
+            driver = (
+                "zarr"
+                if any(
+                    n.rsplit("/", 1)[-1] in (".zgroup", ".zarray", "zarr.json")
+                    for n in names
+                )
+                else "zip"
+            )
         elif path.endswith(".parquet") and not os.path.isdir(os.path.join(path, "..", DATA_DIR)):
             driver = "table" if not os.path.isdir(path) or any(
                 f.endswith(".parquet") for f in os.listdir(path)

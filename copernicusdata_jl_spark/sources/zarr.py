@@ -344,7 +344,7 @@ def write_consolidated(root: str) -> None:
 # array + group readers
 # ---------------------------------------------------------------------------
 
-_META_KEYS = (".zgroup", ".zarray", ".zattrs", ".zmetadata")
+_META_KEYS = (".zgroup", ".zarray", ".zattrs", ".zmetadata", "zarr.json")
 
 
 def _decode_chunk(raw: bytes, compressor: dict | None) -> bytes:
@@ -430,6 +430,107 @@ def read_zarr_array(store: _Store, key: str) -> tuple[np.ndarray, dict]:
     return arr, attrs
 
 
+# ---------------------------------------------------------------------------
+# Zarr v3 (zarr.json metadata, c/-prefixed chunk keys, codec pipelines)
+# ---------------------------------------------------------------------------
+
+_V3_DTYPES = {
+    "bool": "b1",
+    "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float32": "f4", "float64": "f8",
+}
+
+
+def _v3_fill_value(fill, dtype: np.dtype):
+    """v3 JSON fill_value → numpy scalar (special float spellings per spec)."""
+    if fill is None:
+        return None
+    if isinstance(fill, str) and dtype.kind == "f":
+        return {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}[fill]
+    return fill
+
+
+def _v3_decode_chunk(raw: bytes, codecs: list[dict], dtype: np.dtype, chunks: tuple) -> np.ndarray:
+    """Run the codec pipeline backwards: bytes→bytes codecs in reverse
+    order, then the mandatory ``bytes`` (array↔bytes) codec fixes
+    endianness. array→array codecs (transpose) and sharding are rejected
+    loudly."""
+    names = [c.get("name") for c in codecs]
+    if "bytes" not in names:
+        raise NotImplementedError("zarr v3 codec pipeline lacks the 'bytes' codec")
+    bi = names.index("bytes")
+    if bi != 0:
+        raise NotImplementedError(
+            f"zarr v3 array->array codecs not supported: {names[:bi]}"
+        )
+    for c in reversed(codecs[bi + 1 :]):
+        n = c.get("name")
+        if n == "gzip":
+            raw = gzip.decompress(raw)
+        elif n == "zlib":
+            raw = zlib.decompress(raw)
+        elif n == "blosc":
+            raw = blosc_decompress(raw)  # shuffle mode is in the frame header
+        else:
+            raise NotImplementedError(f"zarr v3 codec {n!r} not supported")
+    endian = (codecs[bi].get("configuration") or {}).get("endian", "little")
+    dt = dtype.newbyteorder("<" if endian == "little" else ">")
+    arr = np.frombuffer(raw, dtype=dt, count=int(np.prod(chunks))).reshape(chunks)
+    return arr.astype(dtype, copy=False)
+
+
+def read_zarr_array_v3(store: _Store, key: str, meta: dict) -> tuple[np.ndarray, dict]:
+    """Assemble one Zarr v3 array → (ndarray, attrs). Same grid/hole/edge
+    semantics as v2; metadata comes from the node's ``zarr.json``
+    (``dimension_names`` maps onto the v2 ``_ARRAY_DIMENSIONS``
+    convention so the tree layer is format-agnostic)."""
+    name = meta.get("data_type")
+    if name not in _V3_DTYPES:
+        raise NotImplementedError(f"zarr v3 data_type {name!r} not supported")
+    dtype = np.dtype(_V3_DTYPES[name])
+    cg = meta.get("chunk_grid") or {}
+    if cg.get("name") != "regular":
+        raise NotImplementedError(f"zarr v3 chunk_grid {cg.get('name')!r} (only regular)")
+    shape = tuple(meta["shape"])
+    chunks = tuple(cg["configuration"]["chunk_shape"])
+    cke = meta.get("chunk_key_encoding") or {"name": "default"}
+    sep = (cke.get("configuration") or {}).get("separator", "/" if cke.get("name") != "v2" else ".")
+    v2_keys = cke.get("name") == "v2"
+    fill = _v3_fill_value(meta.get("fill_value"), dtype)
+    attrs = dict(meta.get("attributes") or {})
+    dims = meta.get("dimension_names")
+    if dims:
+        attrs.setdefault("_ARRAY_DIMENSIONS", list(dims))
+    if fill is not None:
+        attrs.setdefault("_FillValue", fill)
+
+    arr = (
+        np.zeros(shape, dtype=dtype)
+        if fill is None
+        else np.full(shape, dtype.type(fill), dtype=dtype)
+    )
+    if 0 in shape:
+        return arr, attrs
+    import itertools
+
+    grid = [range((s + c - 1) // c) for s, c in zip(shape, chunks)]
+    for idx in itertools.product(*grid):
+        if v2_keys:
+            ckey = sep.join(str(i) for i in idx) if idx else "0"
+        else:
+            ckey = "c" + "".join(f"{sep}{i}" for i in idx) if idx else "c"
+        raw = store.read(f"{key}/{ckey}" if key else ckey)
+        if raw is None:
+            continue  # hole -> fill_value
+        block = _v3_decode_chunk(raw, meta.get("codecs") or [], dtype, chunks)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
+        )
+        arr[sel] = block[tuple(slice(0, sl.stop - sl.start) for sl in sel)]
+    return arr, attrs
+
+
 def _group_dataframe(spark: SparkSession, arrays: dict[str, tuple[np.ndarray, dict]]):
     """Merge a group's arrays into DataFrames: arrays sharing (dims, shape)
     become one frame — index columns ``idx_<dim>`` + a value column per
@@ -496,8 +597,12 @@ def open_zarr_datatree(
     zmeta = store.read(".zmetadata")
     if zmeta is not None:
         store = _ConsolidatedStore(store, json.loads(zmeta))
-    if store.read(".zgroup") is None and store.read(".zarray") is None:
-        raise ValueError(f"{path!r} is not a Zarr v2 store (no .zgroup/.zarray)")
+    if (
+        store.read(".zgroup") is None
+        and store.read(".zarray") is None
+        and store.read("zarr.json") is None
+    ):
+        raise ValueError(f"{path!r} is not a Zarr store (no .zgroup/.zarray/zarr.json)")
     base = os.path.basename(path.rstrip("/"))
     for suf in (".zarr.zip", ".zarr", ".zip"):
         if base.endswith(suf):
@@ -509,15 +614,26 @@ def open_zarr_datatree(
         attrs_raw = store.read(f"{key}/.zattrs" if key else ".zattrs")
         if attrs_raw:
             node.properties.update(json.loads(attrs_raw))
+        zj_raw = store.read(f"{key}/zarr.json" if key else "zarr.json")
+        if zj_raw:  # v3 group: attributes live inline in zarr.json
+            node.properties.update(json.loads(zj_raw).get("attributes") or {})
         arrays: dict[str, tuple[np.ndarray, dict]] = {}
         subgroups: list[str] = []
         for entry in store.listdir(key):
             if entry in _META_KEYS:
                 continue
             child_key = f"{key}/{entry}" if key else entry
-            if store.read(f"{child_key}/.zarray") is not None:
+            child_zj = store.read(f"{child_key}/zarr.json")
+            child_meta = json.loads(child_zj) if child_zj else None
+            is_array = store.read(f"{child_key}/.zarray") is not None or (
+                child_meta is not None and child_meta.get("node_type") == "array"
+            )
+            if is_array:
                 if group is None or group in node.path:
-                    arr, attrs = read_zarr_array(store, child_key)
+                    if child_meta is not None and child_meta.get("node_type") == "array":
+                        arr, attrs = read_zarr_array_v3(store, child_key, child_meta)
+                    else:
+                        arr, attrs = read_zarr_array(store, child_key)
                     arrays[entry] = (arr, attrs)
                     fill = attrs.get("_FillValue", attrs.get("missing_value"))
                     if fill is not None:
@@ -525,7 +641,9 @@ def open_zarr_datatree(
                         # missing_value attribute (arrays merge into one
                         # frame here, so the node keeps a var -> fill map)
                         node.properties.setdefault("missing_value", {})[entry] = fill
-            elif store.read(f"{child_key}/.zgroup") is not None:
+            elif store.read(f"{child_key}/.zgroup") is not None or (
+                child_meta is not None and child_meta.get("node_type") == "group"
+            ):
                 subgroups.append(entry)
         if arrays:
             frames = _group_dataframe(spark, arrays)
@@ -593,6 +711,66 @@ def write_zarr_group(root: str) -> None:
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)
+
+
+def write_zarr_group_v3(root: str, attrs: dict | None = None) -> None:
+    os.makedirs(root, exist_ok=True)
+    doc = {"zarr_format": 3, "node_type": "group"}
+    if attrs:
+        doc["attributes"] = attrs
+    with open(os.path.join(root, "zarr.json"), "w") as f:
+        json.dump(doc, f)
+
+
+def write_zarr_array_v3(
+    root: str,
+    name: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    attrs: dict | None = None,
+    fill_value=0,
+    dims: list[str] | None = None,
+) -> None:
+    """Write one Zarr v3 array (``bytes`` little-endian + gzip codec
+    pipeline, default ``c/``-separated chunk keys) — spec-compliant for
+    any v3 implementation; used for round-trip tests and fixtures."""
+    import itertools
+
+    if arr.dtype.name not in _V3_DTYPES:
+        raise NotImplementedError(f"dtype {arr.dtype} has no v3 data_type name")
+    chunks = chunks or arr.shape or (1,)
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": arr.dtype.name,
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": fill_value,
+        "codecs": [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "gzip", "configuration": {"level": 5}},
+        ],
+    }
+    if attrs:
+        meta["attributes"] = attrs
+    if dims:
+        meta["dimension_names"] = list(dims)
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+    grid = [range((s + c - 1) // c) for s, c in zip(arr.shape, chunks)]
+    for idx in itertools.product(*grid):
+        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
+        block = np.full(chunks, fill_value if fill_value is not None else 0, dtype=le.dtype)
+        view = le[sel]
+        block[tuple(slice(0, s) for s in view.shape)] = view
+        ckey = "c" + "".join(f"/{i}" for i in idx) if idx else "c"
+        os.makedirs(os.path.dirname(os.path.join(d, ckey)), exist_ok=True)
+        with open(os.path.join(d, ckey), "wb") as f:
+            f.write(gzip.compress(block.tobytes(), 5))
 
 
 _SPARK_TO_NP = {

@@ -303,3 +303,113 @@ level = "warning"
     outs = P.run(str(toml), spark)
     row = outs["stats"].data.first()
     assert row["n"] == 100 and row["vmin"] == 0.0 and row["vmax"] == 100.0
+
+
+# ---------------------------------------------------------------------------
+# Zarr v3
+# ---------------------------------------------------------------------------
+
+
+def test_zarr_v3_roundtrip_holes_edges_and_nesting(spark, tmp_path):
+    """v3 store (zarr.json metadata, c/-keys, bytes+gzip codecs): grid
+    assembly, edge-chunk slicing, hole→fill→NULL, dimension_names, group
+    attributes, nested subgroup — all through the same tree layer as v2."""
+    import os
+
+    from copernicusdata_jl_spark.sources.zarr import (
+        open_zarr_datatree,
+        write_zarr_array_v3,
+        write_zarr_group_v3,
+    )
+
+    root = str(tmp_path / "v3.zarr")
+    write_zarr_group_v3(root, attrs={"title": "v3 fixture"})
+    a = np.arange(35, dtype=np.float64).reshape(5, 7) + 1.0  # avoid fill collision
+    write_zarr_array_v3(
+        root, "m", a, chunks=(2, 3), fill_value=-1.0, dims=["y", "x"],
+        attrs={"units": "K"},
+    )
+    sub = os.path.join(root, "g")
+    write_zarr_group_v3(sub)
+    write_zarr_array_v3(sub, "v", np.arange(4, dtype=np.int32), chunks=(3,),
+                        fill_value=0, dims=["i"])
+
+    t = open_zarr_datatree(spark, root)
+    assert t.properties.get("title") == "v3 fixture"
+    got = {(r["idx_y"], r["idx_x"]): r["m"] for r in t.data.collect()}
+    assert all(got[(i, j)] == a[i, j] for i in range(5) for j in range(7))
+    gv = {r["idx_i"]: r["v"] for r in t["g"].data.collect()}
+    assert gv == {0: None, 1: 1, 2: 2, 3: 3}  # fill 0 normalizes to NULL
+
+    # hole: delete one chunk file -> fill -> NULL
+    os.remove(os.path.join(root, "m", "c", "0", "0"))
+    t2 = open_zarr_datatree(spark, root)
+    got2 = {(r["idx_y"], r["idx_x"]): r["m"] for r in t2.data.collect()}
+    assert got2[(0, 0)] is None and got2[(1, 2)] is None and got2[(0, 3)] == a[0, 3]
+
+
+def test_zarr_v3_v2_style_keys_and_loud_rejections(spark, tmp_path):
+    import json
+    import os
+    import zlib
+
+    from copernicusdata_jl_spark.sources.zarr import open_zarr_datatree, write_zarr_group_v3
+
+    root = str(tmp_path / "k.zarr")
+    write_zarr_group_v3(root)
+    d = os.path.join(root, "a")
+    os.makedirs(d)
+    vals = np.array([3, 1, 4, 1], dtype="<i8")
+    json.dump(
+        {
+            "zarr_format": 3, "node_type": "array", "shape": [4],
+            "data_type": "int64",
+            "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+            "chunk_key_encoding": {"name": "v2", "configuration": {"separator": "."}},
+            "fill_value": -9, "dimension_names": ["i"],
+            "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+                       {"name": "zlib"}],
+        },
+        open(os.path.join(d, "zarr.json"), "w"),
+    )
+    open(os.path.join(d, "0"), "wb").write(zlib.compress(vals.tobytes()))
+    t = open_zarr_datatree(spark, root)
+    assert [r["a"] for r in t.data.orderBy("idx_i").collect()] == [3, 1, 4, 1]
+
+    # sharding rejects loudly, never wrong bytes
+    import pytest as _pytest
+
+    from copernicusdata_jl_spark.sources.zarr import read_zarr_array_v3, _DirStore
+
+    meta = json.loads(open(os.path.join(d, "zarr.json")).read())
+    meta["codecs"] = [{"name": "sharding_indexed", "configuration": {}},
+                      {"name": "bytes"}]
+    with _pytest.raises(NotImplementedError):
+        read_zarr_array_v3(_DirStore(root), "a", meta)
+
+
+def test_open_datatree_dispatches_v3_and_zip_twin(spark, tmp_path):
+    import zipfile
+    import os
+
+    from copernicusdata_jl_spark.sources.datatree import open_datatree
+    from copernicusdata_jl_spark.sources.zarr import write_zarr_array_v3, write_zarr_group_v3
+
+    root = str(tmp_path / "t.zarr")
+    write_zarr_group_v3(root)
+    write_zarr_array_v3(root, "x", np.arange(6, dtype=np.float32) + 1.0,
+                        chunks=(4,), fill_value=-1.0, dims=["i"])
+    t = open_datatree(spark, root)
+    assert t.data.count() == 6
+
+    zp = str(tmp_path / "t.zarr.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                z.write(p, os.path.relpath(p, root))
+    t2 = open_datatree(spark, zp)
+    assert t2.data.count() == 6
+    assert sorted(r["x"] for r in t2.data.collect()) == sorted(
+        r["x"] for r in t.data.collect()
+    )
