@@ -392,6 +392,54 @@ def ivf_centroid_rows(
     return [(j, [float(x) for x in r[vec_col]]) for j, r in enumerate(rows)]
 
 
+def ivf_train_kmeans(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 9,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the deterministic IVF seeds (k-means with the
+    cosine assignment the index itself uses — FAISS's IVF training step,
+    DataFrame-native instead of a side library):
+
+    - ASSIGNMENT is the same literal-projection expression as the index
+      (:func:`ivf_assign_expr`): map-side whole-stage codegen over the
+      full table, zero shuffle, identical tie-breaks — so training and
+      serving can never disagree about a boundary vector.
+    - UPDATE is one ``posexplode`` + (cid, pos) average whose shuffle
+      carries k × dim aggregate rows (map-side partials), not vectors.
+    - Only the k × dim centroid matrix reaches the driver per iteration
+      (index construction, same contract as :func:`ivf_centroid_rows`).
+
+    Empty clusters keep their previous centroid. Components are rounded
+    to ``round_dp`` so a retrain is bit-reproducible across partitionings
+    (double-sum reassociation is below the rounding grain). Parity with a
+    NumPy reference implementation is pinned in tests/test_dedup.py."""
+    cents = ivf_centroid_rows(emb, n_centroids, id_col, vec_col)
+    base = emb.withColumn("_vn", norm_expr(F.col(vec_col)))
+    for _ in range(iters):
+        assigned = base.select(
+            ivf_assign_expr(vec_col, cents, norm_col="_vn").alias("cid"),
+            F.col(vec_col).alias("v"),
+        )
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by.setdefault(r["cid"], {})[r["pos"]] = round(float(r["m"]), round_dp)
+        cents = [
+            (j, [by[j][p] for p in range(len(cv))]) if j in by else (j, cv)
+            for j, cv in cents
+        ]
+    return cents
+
+
 def norm_expr(vec: Column) -> Column:
     """sqrt(v·v) — hoisted into its own column by the IVF operators so the
     per-centroid cosine trees don't each re-embed the self-dot fold."""
@@ -484,6 +532,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qe",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k — the coarse-quantizer scale path next
     to sign-LSH (`ann_lsh_topk`): every base vector is assigned to its
@@ -492,8 +541,10 @@ def ivf_topk(
     exact cosine. Cost per query ≈ nprobe/n_centroids of the table vs
     brute force; recall grows with nprobe (the IVF knob). The candidate
     join broadcasts the exploded queries, so the base table is scanned
-    once, map-side, regardless of query count."""
-    cents = ivf_centroid_rows(emb, n_centroids, id_col, vec_col)
+    once, map-side, regardless of query count. Pass ``centroids`` (e.g.
+    from :func:`ivf_train_kmeans`) to probe a trained index; default is
+    the deterministic seed index."""
+    cents = centroids if centroids is not None else ivf_centroid_rows(emb, n_centroids, id_col, vec_col)
     # hoisted self-norms: every per-centroid cosine (assignment, probes)
     # and the final re-rank reuse ONE norm column instead of re-embedding
     # the self-dot fold — identical values, much smaller expression trees

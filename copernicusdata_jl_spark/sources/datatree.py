@@ -209,13 +209,14 @@ class DataTree:
             if node.data is not None:
                 node.data.write.mode("overwrite").parquet(os.path.join(d, DATA_DIR))
 
-    def to_zarr(self, root: str, mode: str = "error") -> None:
-        """S10 in the native format: write this tree as a Zarr v2 group
-        store (see sources/zarr.write_zarr_datatree; data nodes must be
-        zarr-shaped — idx_<dim> + value columns)."""
+    def to_zarr(self, root: str, mode: str = "error", zarr_format: int = 2) -> None:
+        """S10 in the native format: write this tree as a Zarr group store
+        (v2 default, ``zarr_format=3`` for a v3 store; see
+        sources/zarr.write_zarr_datatree; data nodes must be zarr-shaped —
+        idx_<dim> + value columns)."""
         from .zarr import write_zarr_datatree
 
-        write_zarr_datatree(self, root, mode=mode)
+        write_zarr_datatree(self, root, mode=mode, zarr_format=zarr_format)
 
     def to_zip(self, zpath: str, mode: str = "error") -> None:
         """S2/S10 zip twin (reference src/YAXTrees.jl:454-455 writes a

@@ -761,10 +761,11 @@ def write_zarr_array_v3(
     with open(os.path.join(d, "zarr.json"), "w") as f:
         json.dump(meta, f)
     le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+    pad = _v3_fill_value(fill_value, arr.dtype)  # "NaN" etc → numpy scalar
     grid = [range((s + c - 1) // c) for s, c in zip(arr.shape, chunks)]
     for idx in itertools.product(*grid):
         sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
-        block = np.full(chunks, fill_value if fill_value is not None else 0, dtype=le.dtype)
+        block = np.full(chunks, pad if pad is not None else 0, dtype=le.dtype)
         view = le[sel]
         block[tuple(slice(0, s) for s in view.shape)] = view
         ckey = "c" + "".join(f"/{i}" for i in idx) if idx else "c"
@@ -779,28 +780,35 @@ _SPARK_TO_NP = {
 }
 
 
-def write_zarr_datatree(tree, root: str, mode: str = "error") -> None:
-    """S10 in the NATIVE format: write a DataTree back out as a Zarr v2
+def write_zarr_datatree(tree, root: str, mode: str = "error", zarr_format: int = 2) -> None:
+    """S10 in the NATIVE format: write a DataTree back out as a Zarr
     group store (the reference's ``to_zarr``, src/YAXTrees.jl:748-773 —
-    refusing an existing target the same way). Data nodes must be
+    refusing an existing target the same way); ``zarr_format=3`` writes a
+    v3 store (zarr.json metadata, c/-keys). Data nodes must be
     zarr-shaped (``idx_<dim>`` index columns + value columns, the shape
     :func:`open_zarr_datatree` produces); arbitrary relational frames
     belong in parquet (``DataTree.to_parquet``) — an unordered DataFrame
     has no well-defined array layout, so this refuses rather than
     inventing one. Arrays materialize driver-side (trees are catalog
     scale); NULLs round-trip through each variable's recorded
-    ``missing_value`` sentinel. Finishes with a consolidated-metadata
+    ``missing_value`` sentinel. v2 finishes with a consolidated-metadata
     document so re-opens cost one metadata read."""
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
     if os.path.exists(root) and mode != "overwrite":
         raise FileExistsError(f"{root} exists; pass mode='overwrite'")
+    v3 = zarr_format == 3
     for node in tree:
         rel_parts = [p for p in node.path.split("/") if p][1:]  # drop root name
         d = os.path.join(root, *rel_parts) if rel_parts else root
-        write_zarr_group(d)
         props = {k: v for k, v in node.properties.items() if k != "missing_value"}
-        if props:
-            with open(os.path.join(d, ".zattrs"), "w") as f:
-                json.dump(props, f, sort_keys=True)
+        if v3:
+            write_zarr_group_v3(d, attrs=props or None)
+        else:
+            write_zarr_group(d)
+            if props:
+                with open(os.path.join(d, ".zattrs"), "w") as f:
+                    json.dump(props, f, sort_keys=True)
         if node.data is None:
             continue
         df = node.data
@@ -835,8 +843,19 @@ def write_zarr_datatree(tree, root: str, mode: str = "error") -> None:
             if fill is not None:
                 vals = _np.where(series.isna().to_numpy(), base, vals)
             arr[idx] = vals.astype(dt)
-            write_zarr_array(
-                d, col, arr, fill_value=(None if fill is None or fill != fill else fill),
-                attrs={"_ARRAY_DIMENSIONS": dims},
-            )
-    write_consolidated(root)
+            if v3:
+                if fill is None:
+                    v3fill = None  # JSON null: no missing sentinel (reader twin)
+                elif fill != fill:
+                    v3fill = "NaN"  # v3 spec spelling for float NaN
+                else:
+                    v3fill = fill
+                write_zarr_array_v3(d, col, arr, fill_value=v3fill, dims=dims)
+            else:
+                write_zarr_array(
+                    d, col, arr,
+                    fill_value=(None if fill is None or fill != fill else fill),
+                    attrs={"_ARRAY_DIMENSIONS": dims},
+                )
+    if not v3:
+        write_consolidated(root)

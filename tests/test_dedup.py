@@ -177,6 +177,54 @@ def test_ivf_topk_full_probe_equals_bruteforce_and_nprobe_monotone(spark):
         assert len(r1.get(qid, set()) & exact[qid]) <= len(r2.get(qid, set()) & exact[qid])
 
 
+def test_ivf_train_kmeans_matches_numpy_and_improves_objective(spark):
+    """ivf_train_kmeans == a NumPy Lloyd reference using the SAME
+    assignment rule (cosine rounded to 6dp, ties to smallest centroid id)
+    and the same mean-update rounding; and training improves the mean
+    best-centroid cosine over the deterministic seeds."""
+    rng = np.random.default_rng(41)
+    # three well-separated direction clusters
+    dirs = rng.normal(size=(3, 12))
+    base = np.vstack([d + rng.normal(scale=0.15, size=(40, 12)) for d in dirs])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        ["vec_id", "embedding"],
+    )
+    k, iters = 3, 3
+    got = D.ivf_train_kmeans(emb, k, iters)
+
+    def cos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    def assign(cents):
+        out = []
+        for v in base:
+            scores = [(cos(v, c), -j) for j, c in enumerate(cents)]
+            out.append(-max(scores)[1])
+        return np.array(out)
+
+    cents = [base[i].copy() for i in range(k)]  # seeds = lowest-id rows
+    for _ in range(iters):
+        a = assign(cents)
+        for j in range(k):
+            if (a == j).any():
+                cents[j] = np.round(base[a == j].mean(axis=0), 9)
+    for (j, cv), ref in zip(got, cents):
+        assert np.allclose(cv, ref, atol=1e-9), j
+
+    def objective(cents):
+        return float(np.mean([max(cos(v, c) for c in cents) for v in base]))
+
+    seeds = [base[i] for i in range(k)]
+    assert objective([np.array(c) for _, c in got]) > objective(seeds)
+    # trained centroids drop into the serving index unchanged
+    queries = spark.createDataFrame(
+        [(900, [float(x) for x in dirs[0]])], ["query_id", "qe"]
+    )
+    out = D.ivf_topk(emb, queries, 3, 1, k, centroids=got).collect()
+    assert len(out) == 3 and all(r.vec_id < 40 for r in out)  # cluster 0 members
+
+
 def test_word_ngrams_short_doc(spark):
     df = spark.createDataFrame([(0, "a b"), (1, "a b c"), (2, "")], ["doc_id", "text"])
     got = {r.doc_id: r.sh for r in df.select("doc_id", D.word_ngrams_expr(F.col("text")).alias("sh")).collect()}

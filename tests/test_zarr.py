@@ -413,3 +413,42 @@ def test_open_datatree_dispatches_v3_and_zip_twin(spark, tmp_path):
     assert sorted(r["x"] for r in t2.data.collect()) == sorted(
         r["x"] for r in t.data.collect()
     )
+
+
+def test_to_zarr_v3_sink_roundtrip_with_nulls(spark, tmp_path):
+    """to_zarr(zarr_format=3): a tree opened from a v2 store (with a
+    fill-value hole → NULLs) writes a v3 store that reads back isomorphic
+    and value-identical, sentinel round-tripped."""
+    import json
+    import os
+
+    from copernicusdata_jl_spark.sources.zarr import (
+        open_zarr_datatree,
+        write_zarr_array,
+        write_zarr_group,
+    )
+
+    root = str(tmp_path / "src.zarr")
+    write_zarr_group(root)
+    a = np.arange(12, dtype=np.float64).reshape(3, 4) + 1.0
+    write_zarr_array(root, "m", a, chunks=(2, 2), fill_value=-1.0,
+                     attrs={"_ARRAY_DIMENSIONS": ["y", "x"]})
+    os.remove(os.path.join(root, "m", "0.0"))  # hole -> NULLs
+    t = open_zarr_datatree(spark, root)
+
+    out = str(tmp_path / "out.zarr")
+    t.to_zarr(out, zarr_format=3)
+    assert json.load(open(os.path.join(out, "zarr.json")))["zarr_format"] == 3
+    assert json.load(open(os.path.join(out, "m", "zarr.json")))["node_type"] == "array"
+    t2 = open_zarr_datatree(spark, out)
+    assert t.isomorphic(t2)
+    rows = lambda tt: sorted(
+        (r["idx_y"], r["idx_x"], r["m"]) for r in tt.data.collect()
+    )
+    assert rows(t) == rows(t2)
+    assert sum(1 for _, _, v in rows(t2) if v is None) == 4  # the 2x2 hole
+    # refuse-overwrite contract holds on the v3 path too
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        t.to_zarr(out, zarr_format=3)
