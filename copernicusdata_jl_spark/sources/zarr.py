@@ -314,6 +314,70 @@ class _ConsolidatedStore(_Store):
         return sorted(x for x in out if x and not x.startswith(".z"))
 
 
+class _ConsolidatedStoreV3(_Store):
+    """v3 twin of :class:`_ConsolidatedStore`: node ``zarr.json`` reads and
+    the tree walk are served from the root document's
+    ``consolidated_metadata.metadata`` map (zarr-python v3's inline
+    consolidation); chunk reads pass through."""
+
+    def __init__(self, inner: _Store, root_doc: dict) -> None:
+        self.inner = inner
+        self.root = dict(root_doc)
+        self.meta: dict = (root_doc.get("consolidated_metadata") or {}).get("metadata", {})
+
+    def read(self, key: str) -> bytes | None:
+        if key == "zarr.json":
+            return json.dumps(self.root).encode()
+        if key.endswith("/zarr.json"):
+            m = self.meta.get(key[: -len("/zarr.json")])
+            return json.dumps(m).encode() if m is not None else None
+        if key.rsplit("/", 1)[-1] in (".zgroup", ".zarray", ".zattrs"):
+            return None  # pure-v3 store
+        return self.inner.read(key)
+
+    def listdir(self, prefix: str) -> list[str]:
+        base = f"{prefix}/" if prefix else ""
+        out: set[str] = set()
+        for k in self.meta:
+            if k.startswith(base):
+                out.add(k[len(base):].split("/", 1)[0])
+        return sorted(x for x in out if x)
+
+
+def consolidate_metadata_v3(store: _Store) -> dict | None:
+    """Root ``zarr.json`` with an inline ``consolidated_metadata`` map of
+    every descendant node document — the v3 one-metadata-read open."""
+    root_raw = store.read("zarr.json")
+    if root_raw is None:
+        return None
+    root = json.loads(root_raw)
+    md: dict = {}
+
+    def rec(key: str) -> None:
+        for entry in store.listdir(key):
+            if entry in _META_KEYS:
+                continue
+            ck = f"{key}/{entry}" if key else entry
+            raw = store.read(f"{ck}/zarr.json")
+            if raw is None:
+                continue
+            doc = json.loads(raw)
+            md[ck] = doc
+            if doc.get("node_type") == "group":
+                rec(ck)
+
+    rec("")
+    root["consolidated_metadata"] = {"kind": "inline", "must_understand": False, "metadata": md}
+    return root
+
+
+def write_consolidated_v3(root: str) -> None:
+    doc = consolidate_metadata_v3(_DirStore(root))
+    if doc is not None:
+        with open(os.path.join(root, "zarr.json"), "w") as f:
+            json.dump(doc, f)
+
+
 def consolidate_metadata(store: _Store) -> dict:
     """Build (and return) the ``.zmetadata`` document for a store — the
     writer-side half of consolidated opens."""
@@ -597,6 +661,10 @@ def open_zarr_datatree(
     zmeta = store.read(".zmetadata")
     if zmeta is not None:
         store = _ConsolidatedStore(store, json.loads(zmeta))
+    else:
+        zj = store.read("zarr.json")
+        if zj is not None and json.loads(zj).get("consolidated_metadata"):
+            store = _ConsolidatedStoreV3(store, json.loads(zj))
     if (
         store.read(".zgroup") is None
         and store.read(".zarray") is None
@@ -791,8 +859,9 @@ def write_zarr_datatree(tree, root: str, mode: str = "error", zarr_format: int =
     has no well-defined array layout, so this refuses rather than
     inventing one. Arrays materialize driver-side (trees are catalog
     scale); NULLs round-trip through each variable's recorded
-    ``missing_value`` sentinel. v2 finishes with a consolidated-metadata
-    document so re-opens cost one metadata read."""
+    ``missing_value`` sentinel. Both formats finish with consolidated
+    metadata (v2 ``.zmetadata``, v3 inline ``consolidated_metadata``) so
+    re-opens cost one metadata read."""
     if zarr_format not in (2, 3):
         raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
     if os.path.exists(root) and mode != "overwrite":
@@ -857,5 +926,7 @@ def write_zarr_datatree(tree, root: str, mode: str = "error", zarr_format: int =
                     fill_value=(None if fill is None or fill != fill else fill),
                     attrs={"_ARRAY_DIMENSIONS": dims},
                 )
-    if not v3:
+    if v3:
+        write_consolidated_v3(root)
+    else:
         write_consolidated(root)

@@ -118,3 +118,40 @@ def test_zarr_store_over_s3_and_consolidated(spark, client, monkeypatch):
     t_c = Z.open_zarr_datatree(spark, "s3://engine-test/zstore/yax.zarr", client=client)
     assert t_c.isomorphic(t_dir)
     assert t_c["grp1"].data.count() == 10
+
+
+def test_zarr_v3_over_s3_consolidated_never_lists(spark, client, tmp_path, monkeypatch):
+    """A v3 store (written by the v3 sink helpers, consolidated) opens
+    over s3:// with bucket listing disabled — the one-metadata-read open
+    works for v3 exactly as for v2."""
+    import os
+
+    import numpy as np
+
+    from copernicusdata_jl_spark.sources import zarr as Z
+
+    root = str(tmp_path / "v3.zarr")
+    Z.write_zarr_group_v3(root)
+    Z.write_zarr_array_v3(root, "x", np.arange(10, dtype=np.float64) + 1.0,
+                          chunks=(4,), fill_value=-1.0, dims=["i"])
+    sub = os.path.join(root, "g")
+    Z.write_zarr_group_v3(sub)
+    Z.write_zarr_array_v3(sub, "y", np.arange(3, dtype=np.int32) + 1,
+                          chunks=(2,), fill_value=-1, dims=["j"])
+    Z.write_consolidated_v3(root)
+    for d, _dirs, files in os.walk(root):
+        for f in files:
+            full = os.path.join(d, f)
+            key = "zstore/v3.zarr/" + os.path.relpath(full, root)
+            with open(full, "rb") as fh:
+                client.put_object(Bucket="engine-test", Key=key, Body=fh.read())
+
+    t_dir = Z.open_zarr_datatree(spark, root)
+
+    def _no_list(self, prefix):
+        raise AssertionError("consolidated v3 open must not list the bucket")
+
+    monkeypatch.setattr(Z._S3Store, "listdir", _no_list)
+    t_s3 = Z.open_zarr_datatree(spark, "s3://engine-test/zstore/v3.zarr", client=client)
+    assert t_s3.isomorphic(t_dir)
+    assert [r["y"] for r in t_s3["g"].data.orderBy("idx_j").collect()] == [1, 2, 3]

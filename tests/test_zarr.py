@@ -452,3 +452,35 @@ def test_to_zarr_v3_sink_roundtrip_with_nulls(spark, tmp_path):
 
     with _pytest.raises(FileExistsError):
         t.to_zarr(out, zarr_format=3)
+
+
+def test_zarr_v3_consolidated_serves_all_metadata(spark, tmp_path):
+    """After write_consolidated_v3, every node document is served from the
+    root zarr.json — proven by deleting the per-node zarr.json files."""
+    import os
+
+    from copernicusdata_jl_spark.sources.zarr import (
+        open_zarr_datatree,
+        write_consolidated_v3,
+        write_zarr_array_v3,
+        write_zarr_group_v3,
+    )
+
+    root = str(tmp_path / "c.zarr")
+    write_zarr_group_v3(root)
+    write_zarr_array_v3(root, "x", np.arange(10, dtype=np.float64) + 1.0,
+                        chunks=(4,), fill_value=-1.0, dims=["i"])
+    sub = os.path.join(root, "g")
+    write_zarr_group_v3(sub)
+    write_zarr_array_v3(sub, "y", np.arange(3, dtype=np.int32) + 1,
+                        chunks=(2,), fill_value=-1, dims=["j"])
+    write_consolidated_v3(root)
+    t0 = open_zarr_datatree(spark, root)
+
+    os.remove(os.path.join(root, "x", "zarr.json"))
+    os.remove(os.path.join(sub, "zarr.json"))
+    os.remove(os.path.join(sub, "y", "zarr.json"))
+    t = open_zarr_datatree(spark, root)
+    assert t.isomorphic(t0)
+    assert [r["y"] for r in t["g"].data.orderBy("idx_j").collect()] == [1, 2, 3]
+    assert t.data.count() == 10
