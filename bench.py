@@ -60,6 +60,8 @@ HEADLINE = [
     "lang_pivot",
     "rollup_counts",
     "percentiles",
+    "pack_sequences",
+    "temperature_sample",
 ]
 
 

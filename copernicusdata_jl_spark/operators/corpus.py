@@ -35,7 +35,7 @@ pattern: every op is an expression over arrays, never a driver loop).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import word_ngrams_expr
@@ -171,6 +171,113 @@ def unigram_logprob(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg("logp"), 4).alias("avg_logp"),
         )
+    )
+
+
+def pack_sequences(
+    corpus: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 8,
+) -> DataFrame:
+    """Assign documents to fixed-length training sequences (sequence
+    packing): documents are concatenated in a deterministic global order
+    (``md5(id)``, id tie-break) and each lands at a token offset; the
+    sequence id is the one holding its first token, with a ``straddles``
+    flag when it crosses a boundary (the trainer's cut-or-pad decision).
+
+    Returns ``(id, n_tokens, start, seq_id, offset, straddles)``.
+
+    Scale shape — a DISTRIBUTED prefix sum, not a global window (a single
+    ``Window.orderBy`` funnels 10^12 rows through ONE reducer):
+
+    1. range-partition by the order key and cumsum WITHIN each partition
+       (window keyed by ``spark_partition_id`` — parallel);
+    2. one tiny aggregate collects per-partition token totals
+       (``n_parts`` rows — index construction, not data);
+    3. each row adds its partition's exclusive offset, map-side.
+
+    The result is identical to the one-reducer global cumsum (oracle-
+    checked against exactly that in DuckDB) and invariant to
+    partitioning, because the order key is total."""
+    from ..functions.text import token_count_expr
+
+    base = corpus.select(
+        F.col(id_col),
+        token_count_expr(F.col(text_col)).alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+    )
+    parts = base.repartitionByRange(n_parts, "_k", id_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("_k", id_col)
+    local = parts.withColumn("_end", F.sum("n_tokens").over(w))
+    totals = (
+        local.groupBy("_pid").agg(F.max("_end").alias("_t")).orderBy("_pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_t"]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    start = off_map[F.col("_pid")] + F.col("_end") - F.col("n_tokens")
+    seq_id = F.floor(start / seq_len)
+    return local.select(
+        id_col,
+        "n_tokens",
+        start.alias("start"),
+        seq_id.alias("seq_id"),
+        (start % seq_len).alias("offset"),
+        ((start + F.col("n_tokens")) > (seq_id + 1) * seq_len).alias("straddles"),
+    )
+
+
+def temperature_sample(
+    corpus: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "tmp",
+) -> DataFrame:
+    """Temperature resampling of a multi-source mix (the multilingual-LM
+    upsampling rule, p_s ∝ count_s^alpha — Conneau & Lample 2019; alpha<1
+    flattens the mix toward small sources). Expected kept total is
+    ``target_frac × N``; per-stratum keep probability
+    ``p_s = min(1, T·w_s/c_s)`` with ``w_s = c_s^alpha / Σ c^alpha``.
+    Selection is the engine's deterministic salted-hash threshold
+    (functions/sample.py) — reproducible under any partitioning/resume.
+
+    Scale shape: one small per-stratum aggregate, rates broadcast back,
+    map-side filter; nothing but (stratum, count) rows ever shuffle.
+    Returns the kept rows with their ``_keep_p`` for mix accounting."""
+    from ..functions.sample import _DENOM
+    from .dedup import h56_expr
+
+    counts = corpus.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_c"))
+    # weights integerized at 6dp BEFORE summation: Σ of integers is exact,
+    # so the normalizer (and with it every threshold) is bit-deterministic
+    # under any aggregation order — a raw double Σ c^alpha varies in the
+    # last ulp with partition order and can flip a floor() boundary.
+    pw = F.sqrt("_c") if alpha == 0.5 else F.pow("_c", F.lit(alpha))
+    counts = counts.withColumn("_w", F.round(pw * 1_000_000).cast("long"))
+    tot = counts.agg(F.sum("_c").alias("_n"), F.sum("_w").alias("_s"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            (F.lit(target_frac) * F.col("_n") * F.col("_w") / F.col("_s"))
+            / F.col("_c"),
+        ).alias("_keep_p"),
+    )
+    h = F.pmod(h56_expr(F.col(id_col).cast("string"), salt), F.lit(_DENOM))
+    return (
+        corpus.join(F.broadcast(rates), strata_col)
+        .filter(h < F.floor(F.col("_keep_p") * _DENOM))
+        .select(*corpus.columns, F.round("_keep_p", 6).alias("_keep_p"))
     )
 
 

@@ -197,10 +197,89 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 64
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Sequence packing (operators/corpus.pack_sequences): docs
+    concatenated in deterministic md5 order, each assigned the fixed-
+    length training sequence holding its first token. Distributed
+    prefix sum (range partitions + per-partition windows + tiny offset
+    aggregate) — the oracle is the equivalent single-window cumsum."""
+    from .operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, seq_len=_SEQ_LEN).orderBy("doc_id")
+
+
+def _pack_sequences_sql() -> str:
+    from .functions.text import token_count_sql
+
+    n = token_count_sql("text")
+    s = _SEQ_LEN
+    return f"""
+WITH b AS (SELECT doc_id, {n} AS n_tokens, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             - n_tokens AS start
+      FROM b)
+SELECT doc_id, n_tokens, start,
+       CAST(floor(start / {s}) AS BIGINT) AS seq_id,
+       start % {s} AS offset,
+       (start + n_tokens) > (CAST(floor(start / {s}) AS BIGINT) + 1) * {s} AS straddles
+FROM c ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# temperature resampling
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA, _TEMP_FRAC = 0.5, 0.4
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Temperature resampling of the source mix (operators/corpus.
+    temperature_sample, p_s ∝ count^0.5): deterministic salted-hash
+    selection at per-source rates; rates derive from integerized sqrt
+    weights so the normalizer is bit-deterministic."""
+    from .operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        C.temperature_sample(docs, "source", _TEMP_ALPHA, _TEMP_FRAC)
+        .select("doc_id", "source", "_keep_p")
+        .orderBy("doc_id")
+    )
+
+
+def _temperature_sample_sql() -> str:
+    from .functions.sample import sample_mod_sql
+
+    h = sample_mod_sql("CAST(doc_id AS VARCHAR)", "tmp")
+    return f"""
+WITH c AS (SELECT source, count(*) AS _c,
+                  CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS _w
+           FROM documents GROUP BY source),
+t AS (SELECT SUM(_c) AS _n, SUM(_w) AS _s FROM c),
+r AS (SELECT source, least(1.0, ({_TEMP_FRAC} * _n * _w / _s) / _c) AS p FROM c, t)
+SELECT d.doc_id, d.source, round(p, 6) AS _keep_p
+FROM documents d JOIN r USING (source)
+WHERE {h} < floor(p * 1000000)
+ORDER BY doc_id
+"""
+
+
 LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "decontaminate": (q_decontaminate, _decontaminate_sql()),
     "dup_spans": (q_dup_spans, _dup_spans_sql()),
     "unigram_logprob": (q_unigram_logprob, _unigram_logprob_sql()),
     "host_cap": (q_host_cap, _host_cap_sql()),
     "pii_redact": (q_pii_redact, _pii_redact_sql()),
+    "pack_sequences": (q_pack_sequences, _pack_sequences_sql()),
+    "temperature_sample": (q_temperature_sample, _temperature_sample_sql()),
 }

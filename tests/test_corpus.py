@@ -134,6 +134,63 @@ def test_host_cap_keeps_small_hosts_whole(spark):
 
 
 # ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_accounting_and_partition_invariance(spark):
+    rows = [(i, " ".join(["w"] * (3 + i % 7))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: tuple(r)[1:] for r in C.pack_sequences(df, 16, n_parts=1).collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in C.pack_sequences(df.repartition(7), 16, n_parts=5).collect()}
+    assert a == b  # distributed prefix sum == single-partition cumsum
+    total = sum(3 + i % 7 for i in range(50))
+    ends = {r.doc_id: r.start + r.n_tokens for r in C.pack_sequences(df, 16).collect()}
+    assert max(ends.values()) == total  # spans tile the token stream
+    out = {r.doc_id: r for r in C.pack_sequences(df, 16).collect()}
+    starts = sorted(r.start for r in out.values())
+    assert starts[0] == 0 and len(set(starts)) == 50  # contiguous, no overlap
+    for r in out.values():
+        assert r.seq_id == r.start // 16 and r.offset == r.start % 16
+        assert r.straddles == (r.start + r.n_tokens > (r.seq_id + 1) * 16)
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_sample_flattens_and_is_deterministic(spark):
+    rows = [(i, "t", "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = C.temperature_sample(df, "source", alpha=0.5, target_frac=0.5)
+    p = {r.source: r._keep_p for r in kept.select("source", "_keep_p").distinct().collect()}
+    # alpha<1 flattens: the small source keeps a HIGHER fraction
+    assert p["small"] > p["big"]
+    # expected totals: T*w_s, capped at 1
+    import math
+
+    w_big, w_small = math.sqrt(900), math.sqrt(100)
+    s = w_big + w_small
+    assert abs(p["big"] - min(1.0, 500 * (w_big / s) / 900)) < 1e-6
+    assert abs(p["small"] - min(1.0, 500 * (w_small / s) / 100)) < 1e-6
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in C.temperature_sample(df.repartition(9), "source", 0.5, 0.5).collect())
+    assert ids1 == ids2  # partitioning-invariant selection
+
+
+def test_temperature_sample_alpha_one_is_uniform(spark):
+    rows = [(i, "t", f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    p = {
+        r.source: r._keep_p
+        for r in C.temperature_sample(df, "source", alpha=1.0, target_frac=0.3)
+        .select("source", "_keep_p").distinct().collect()
+    }
+    assert all(abs(v - 0.3) < 1e-6 for v in p.values())
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 
