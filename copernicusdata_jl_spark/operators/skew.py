@@ -64,6 +64,35 @@ def salted_groupby(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    salt_mod: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-balanced shuffle join: the big side appends a deterministic
+    per-ROW salt (``pmod(xxhash64(all cols), n)``), the small side is
+    replicated ``n`` ways (explode of a literal range), and the join runs
+    on ``(key..., salt)`` — a key holding 10^9 rows now spreads over
+    ``n`` reducers instead of one straggler task. Row-identical to the
+    plain join for ``inner``/``left`` (every big row meets exactly one
+    replica of each matching small row; tested bit-for-bit).
+
+    This is the MANUAL fallback for when AQE's skew-join splitting can't
+    fire (e.g. the skewed side comes out of an aggregation AQE won't
+    re-split, or a non-sort-merge plan); replication multiplies the small
+    side ``n``× — keep it genuinely small or broadcast instead.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_mod))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_mod)]))
+    )
+    return b.join(s, keys + ["_salt"], how).drop("_salt")
+
+
 def hot_keys(df: DataFrame, keys: list[str], threshold: int, sample: float = 0.01) -> DataFrame:
     """Approximate hot-key list from a sampled count (scaled). One narrow
     pass; at 10^12 rows the sample read is ~1% of the scan, and the result

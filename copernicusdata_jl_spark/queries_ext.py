@@ -973,3 +973,31 @@ FROM f ORDER BY doc_id
 
 
 EXT_REGISTRY.update({"media_meta": (q_media_meta, _media_meta_sql())})
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ skew-balanced salted join (operators/skew.salted_join): events
+    (big, skewed side) join a tiny event_type dim on (key, salt) with the
+    dim replicated salt_mod ways — row-identical to the plain join, which
+    is exactly what the oracle computes."""
+    from .operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        load(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("type_label", F.upper(F.col("event_type")))
+    )
+    out = salted_join(ev, dim, "event_type", salt_mod=8)
+    return out.select("event_id", "event_type", "type_label").orderBy("event_id")
+
+
+_SALTED_JOIN_SQL = """
+WITH dim AS (SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events)
+SELECT e.event_id, e.event_type, d.type_label
+FROM events e JOIN dim d USING (event_type)
+ORDER BY e.event_id
+"""
+
+EXT_REGISTRY.update({"salted_join": (q_salted_join, _SALTED_JOIN_SQL)})

@@ -299,3 +299,21 @@ def test_knn_kring_driver_and_dataframe_state_parity(spark):
     drv = knn_kring(pts, qdf, res=5, k_ring=1, k=4, state="driver").orderBy("query_id", "rank")
     dfn = knn_kring(pts, qdf, res=5, k_ring=1, k=4, state="dataframe").orderBy("query_id", "rank")
     assert [tuple(r) for r in drv.collect()] == [tuple(r) for r in dfn.collect()]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain join bit-for-bit, inner and left, including
+    no-match rows on the left path; the join key gains the salt column."""
+    from copernicusdata_jl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", float(i)) for i in range(2000)],
+        "id long, k string, v double",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("absent", 3)], "k string, lbl int"
+    )
+    for how in ("inner", "left"):
+        a = sorted(map(tuple, salted_join(big, small, "k", 8, how).collect()))
+        b = sorted(map(tuple, big.join(small, "k", how).collect()))
+        assert a == b, how
