@@ -274,6 +274,76 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# composed corpus flagship: the full hygiene chain in one plan
+# ---------------------------------------------------------------------------
+
+_MIX_CAP, _MIX_MIN_TOKENS, _MIX_MAX_REP, _MIX_FRAC = 15, 40, 0.3, 0.6
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ The corpus-side flagship: host frequency cap → exact text dedup
+    (min doc_id survives) → quality gates (token floor, Gopher repetition
+    ceiling) → temperature resampling of the surviving source mix — the
+    whole training-mix construction as ONE declarative plan (each stage's
+    individual oracle lives in its own registry entry; this one pins the
+    composition). At 100 TB the dedup window keys on a text hash rather
+    than the text itself (dedup_exact twin) — same plan shape."""
+    from pyspark.sql import Window
+
+    from .functions.text import repetition_ratio_expr, token_count_expr
+    from .operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents")
+    capped = C.host_frequency_cap(docs, _MIX_CAP).select("doc_id")
+    base = docs.join(capped, "doc_id")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        base.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    gated = deduped.filter(
+        (token_count_expr(F.col("text")) >= _MIX_MIN_TOKENS)
+        & (repetition_ratio_expr(F.col("text"), 3) <= _MIX_MAX_REP)
+    )
+    mixed = C.temperature_sample(gated, "source", 0.5, _MIX_FRAC)
+    return mixed.select(
+        "doc_id",
+        "source",
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        "_keep_p",
+    ).orderBy("doc_id")
+
+
+def _training_mix_sql() -> str:
+    from .functions.sample import sample_mod_sql
+    from .functions.text import repetition_ratio_sql, token_count_sql
+
+    tok = token_count_sql("text")
+    rep = repetition_ratio_sql("text", 3)
+    h = sample_mod_sql("CAST(doc_id AS VARCHAR)", "tmp")
+    return f"""
+WITH capped AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents) t WHERE rk <= {_MIX_CAP}),
+base AS (SELECT d.* FROM documents d JOIN capped USING (doc_id)),
+ded AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM base) t
+  WHERE rn = 1),
+gated AS (SELECT * FROM ded WHERE {tok} >= {_MIX_MIN_TOKENS} AND ({rep}) <= {_MIX_MAX_REP}),
+c AS (SELECT source, count(*) AS _c,
+             CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS _w
+      FROM gated GROUP BY source),
+t AS (SELECT SUM(_c) AS _n, SUM(_w) AS _s FROM c),
+r AS (SELECT source, least(1.0, ({_MIX_FRAC} * _n * _w / _s) / _c) AS p FROM c, t)
+SELECT g.doc_id, g.source, {tok} AS n_tokens, round(p, 6) AS _keep_p
+FROM gated g JOIN r USING (source)
+WHERE {h} < floor(p * 1000000)
+ORDER BY doc_id
+"""
+
+
 LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "decontaminate": (q_decontaminate, _decontaminate_sql()),
     "dup_spans": (q_dup_spans, _dup_spans_sql()),
@@ -282,4 +352,5 @@ LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "pii_redact": (q_pii_redact, _pii_redact_sql()),
     "pack_sequences": (q_pack_sequences, _pack_sequences_sql()),
     "temperature_sample": (q_temperature_sample, _temperature_sample_sql()),
+    "training_mix": (q_training_mix, _training_mix_sql()),
 }
