@@ -62,6 +62,8 @@ HEADLINE = [
     "percentiles",
     "pack_sequences",
     "temperature_sample",
+    "salted_join",
+    "training_mix",
 ]
 
 

@@ -228,6 +228,18 @@ def test_pii_redaction_and_counts(spark):
     assert (out[4].ne, out[4].np, out[4].ni) == (0, 0, 1)
 
 
+def test_pii_redaction_idempotent(spark):
+    """Placeholders contain no redactable substrings, so a second pass is
+    a no-op — pipelines can re-run the scrub on mixed clean/dirty data."""
+    rng_texts = [
+        f"u{i}@x{i}.org +1 555-{i % 10}23-4567 10.0.{i % 256}.1 word{i}" for i in range(50)
+    ] + ["clean text", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rng_texts)], "i long, text string")
+    once = P.redact_pii_expr(F.col("text"))
+    out = df.select(once.alias("a"), P.redact_pii_expr(once).alias("b")).collect()
+    assert all(r.a == r.b for r in out)
+
+
 def test_pii_duckdb_twin_matches_spark(spark):
     import duckdb
 
