@@ -517,17 +517,22 @@ def _v3_fill_value(fill, dtype: np.dtype):
 
 def _v3_decode_chunk(raw: bytes, codecs: list[dict], dtype: np.dtype, chunks: tuple) -> np.ndarray:
     """Run the codec pipeline backwards: bytes→bytes codecs in reverse
-    order, then the mandatory ``bytes`` (array↔bytes) codec fixes
-    endianness. array→array codecs (transpose) and sharding are rejected
+    order, the mandatory ``bytes`` (array↔bytes) codec fixes endianness,
+    then array→array ``transpose`` codecs are inverted (their composed
+    permutation is undone in one ``np.transpose``). Sharding is rejected
     loudly."""
     names = [c.get("name") for c in codecs]
     if "bytes" not in names:
         raise NotImplementedError("zarr v3 codec pipeline lacks the 'bytes' codec")
     bi = names.index("bytes")
-    if bi != 0:
-        raise NotImplementedError(
-            f"zarr v3 array->array codecs not supported: {names[:bi]}"
-        )
+    perm = list(range(len(chunks)))
+    for c in codecs[:bi]:  # array->array codecs, encode order
+        if c.get("name") != "transpose":
+            raise NotImplementedError(
+                f"zarr v3 array->array codec {c.get('name')!r} not supported"
+            )
+        order = (c.get("configuration") or {}).get("order") or perm
+        perm = [perm[i] for i in order]
     for c in reversed(codecs[bi + 1 :]):
         n = c.get("name")
         if n == "gzip":
@@ -540,7 +545,10 @@ def _v3_decode_chunk(raw: bytes, codecs: list[dict], dtype: np.dtype, chunks: tu
             raise NotImplementedError(f"zarr v3 codec {n!r} not supported")
     endian = (codecs[bi].get("configuration") or {}).get("endian", "little")
     dt = dtype.newbyteorder("<" if endian == "little" else ">")
-    arr = np.frombuffer(raw, dtype=dt, count=int(np.prod(chunks))).reshape(chunks)
+    stored_shape = tuple(chunks[i] for i in perm)
+    arr = np.frombuffer(raw, dtype=dt, count=int(np.prod(chunks))).reshape(stored_shape)
+    if perm != list(range(len(chunks))):
+        arr = arr.transpose(np.argsort(perm))
     return arr.astype(dtype, copy=False)
 
 

@@ -161,3 +161,21 @@ def test_rollup_single_shuffle_and_pivot_partial_agg(spark):
     # exchanges, both carrying aggregate rows only, both map-side partial
     assert plan2.count("hashpartitioning") == 2
     assert "partial_count" in plan2 and "partial_pivotfirst" in plan2
+
+
+def test_pack_and_mix_plans_scale_out(spark):
+    """pack_sequences must be the DISTRIBUTED prefix sum (range exchange +
+    windows keyed by partition id — never one global-sort window);
+    temperature_sample's joins are broadcast-only."""
+    from copernicusdata_jl_spark.queries_llm import (
+        q_pack_sequences,
+        q_temperature_sample,
+    )
+
+    plan = plan_of(q_pack_sequences(spark, SF_DIR))
+    assert "rangepartitioning" in plan
+    assert "_pid" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    p2 = plan_of(q_temperature_sample(spark, SF_DIR))
+    assert "SortMergeJoin" not in p2 and "ShuffledHashJoin" not in p2

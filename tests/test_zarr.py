@@ -484,3 +484,39 @@ def test_zarr_v3_consolidated_serves_all_metadata(spark, tmp_path):
     assert t.isomorphic(t0)
     assert [r["y"] for r in t["g"].data.orderBy("idx_j").collect()] == [1, 2, 3]
     assert t.data.count() == 10
+
+
+def test_zarr_v3_transpose_codec(spark, tmp_path):
+    """array->array transpose codecs invert correctly, including a
+    composed pair of permutations (3-d chunk)."""
+    import gzip
+    import json
+    import os
+
+    from copernicusdata_jl_spark.sources.zarr import _DirStore, read_zarr_array_v3
+
+    root = str(tmp_path / "t.zarr")
+    d = os.path.join(root, "a")
+    os.makedirs(d)
+    a = np.arange(24, dtype="<i4").reshape(2, 3, 4)
+    o1, o2 = [2, 0, 1], [1, 0, 2]
+    stored = a.transpose(o1).transpose(o2)  # encode applies o1 then o2
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [2, 3, 4],
+        "data_type": "int32",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3, 4]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": o1}},
+            {"name": "transpose", "configuration": {"order": o2}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "gzip", "configuration": {"level": 1}},
+        ],
+    }
+    json.dump(meta, open(os.path.join(d, "zarr.json"), "w"))
+    os.makedirs(os.path.join(d, "c", "0", "0"))
+    with open(os.path.join(d, "c", "0", "0", "0"), "wb") as f:
+        f.write(gzip.compress(np.ascontiguousarray(stored).tobytes()))
+    got, _ = read_zarr_array_v3(_DirStore(root), "a", meta)
+    assert np.array_equal(got, a)
