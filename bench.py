@@ -64,6 +64,8 @@ HEADLINE = [
     "temperature_sample",
     "salted_join",
     "training_mix",
+    "table_profile",
+    "zscore_outliers",
 ]
 
 

@@ -743,6 +743,65 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: one-pass data-profiling aggregate — row count plus per-column
+    non-null / exact-distinct / min / max, the quality report a pipeline
+    runs before training. Single aggregate, map-side partials; min/max
+    cast to string so one row profiles heterogeneous columns."""
+    d = load(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}_nonnull"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            F.min(c).cast("string").alias(f"{c}_min"),
+            F.max(c).cast("string").alias(f"{c}_max"),
+        ]
+    return d.agg(*aggs)
+
+
+Q_TABLE_PROFILE_SQL = (
+    "SELECT count(*) AS n_rows, "
+    + ", ".join(
+        f"count({c}) AS {c}_nonnull, count(DISTINCT {c}) AS {c}_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS {c}_min, CAST(max({c}) AS VARCHAR) AS {c}_max"
+        for c in _PROFILE_COLS
+    )
+    + " FROM documents"
+)
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: per-group z-score outlier flagging (data cleaning before
+    aggregation): group stats in one small aggregate, broadcast back,
+    map-side filter |v-mu|/sd > 3 — no window, the events scan never
+    shuffles."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd")
+    )
+    z = F.abs(F.col("value") - F.col("_mu")) / F.col("_sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(z > 3.0)
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+Q_ZSCORE_SQL = """
+WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, round(abs(e.value - s.mu) / s.sd, 4) AS z
+FROM events e JOIN s USING (event_type)
+WHERE abs(e.value - s.mu) / s.sd > 3.0
+ORDER BY e.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -777,6 +836,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_pivot": (q_lang_pivot, Q_LANG_PIVOT_SQL),
     "rollup_counts": (q_rollup_counts, Q_ROLLUP_SQL),
     "percentiles": (q_percentiles, Q_PERCENTILES_SQL),
+    "table_profile": (q_table_profile, Q_TABLE_PROFILE_SQL),
+    "zscore_outliers": (q_zscore_outliers, Q_ZSCORE_SQL),
 }
 
 # extended suites (dedup/similarity/kNN/lineage) — merged registries
