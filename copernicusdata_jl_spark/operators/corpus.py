@@ -220,10 +220,12 @@ def pack_sequences(
     for r in totals:
         offsets[r["_pid"]] = acc
         acc += r["_t"]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-    )
-    start = off_map[F.col("_pid")] + F.col("_end") - F.col("n_tokens")
+    if offsets:
+        off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+        off = off_map[F.col("_pid")]
+    else:  # empty corpus: no partitions materialized, no offsets to add
+        off = F.lit(0)
+    start = off + F.col("_end") - F.col("n_tokens")
     seq_id = F.floor(start / seq_len)
     return local.select(
         id_col,

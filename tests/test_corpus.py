@@ -262,3 +262,16 @@ def test_pii_duckdb_twin_matches_spark(spark):
         f"{P.pii_count_sql('text', 'email')} AS ne FROM t ORDER BY doc_id"
     ).fetchall()
     assert [(r.doc_id, r.red, r.ne) for r in sres] == [tuple(r) for r in dres]
+
+
+def test_corpus_ops_on_empty_input(spark):
+    """Every corpus operator must return an empty (not crashing) frame on
+    an empty corpus — resume/retry paths hit this routinely."""
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert C.pack_sequences(empty, 16).count() == 0
+    assert C.temperature_sample(empty, "source", 0.5, 0.5).count() == 0
+    assert C.host_frequency_cap(empty, 5).count() == 0
+    assert C.dup_span_stats(empty, k=5).count() == 0
+    assert C.unigram_logprob(empty).count() == 0
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    assert C.decontaminate(empty, bench, n=4).count() == 0
