@@ -85,6 +85,10 @@ def salted_join(
     side ``n``× — keep it genuinely small or broadcast instead.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter", "leftsemi", "leftanti"):
+        # right/full would emit each UNMATCHED small-side row once per
+        # replica (salt_mod duplicates) — refuse rather than be wrong
+        raise ValueError(f"salted_join supports inner/left-family joins, not {how!r}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_mod))
     b = big.withColumn("_salt", salt)
     s = small.withColumn(

@@ -317,3 +317,17 @@ def test_salted_join_equals_plain_join(spark):
         a = sorted(map(tuple, salted_join(big, small, "k", 8, how).collect()))
         b = sorted(map(tuple, big.join(small, "k", how).collect()))
         assert a == b, how
+
+
+def test_salted_join_semi_anti_and_refuses_right(spark):
+    from copernicusdata_jl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id long, k string")
+    small = spark.createDataFrame([("a", 9)], "k string, lbl int")
+    semi = sorted(r.id for r in salted_join(big, small, "k", 4, "left_semi").collect())
+    anti = sorted(r.id for r in salted_join(big, small, "k", 4, "left_anti").collect())
+    assert semi == [1, 3] and anti == [2]  # replicas never duplicate big rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(big, small, "k", 4, "full")
