@@ -143,11 +143,12 @@ def unigram_logprob(
     """Average unigram log-probability per document (CCNet-style quality
     score, unigram reduction). Higher = closer to the corpus distribution.
 
-    ``p(tok) = (cnt + 1) / (total + |V|)`` (add-one smoothing, so a
-    sub-corpus scored against full-corpus ``stats`` never hits log(0)).
-    Returns ``(id, n_tokens, avg_logp)`` with ``avg_logp`` rounded to 4dp
-    (both engines round identically; unrounded doubles differ in the last
-    ulp across summation orders).
+    ``p(tok) = (cnt + 1) / (total + |V|)`` (add-one smoothing); a token
+    absent from ``stats`` (scoring one corpus against another's
+    frequencies) scores the smoothed ``log(1 / (total + |V|))`` rather
+    than dropping out of the average. Returns ``(id, n_tokens, avg_logp)``
+    with ``avg_logp`` rounded to 4dp (both engines round identically;
+    unrounded doubles differ in the last ulp across summation orders).
 
     Scale shape: ``stats`` is |vocab|-sized (≤ a few M rows for web text)
     → BROADCAST onto the exploded tokens; per-doc average shuffles only
@@ -164,12 +165,19 @@ def unigram_logprob(
         F.log((F.col("cnt") + 1) / (F.col("_total") + F.col("_vocab"))).alias("logp"),
     )
     toks = corpus.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    # LEFT join + coalesce: an OOV token (scoring corpus B against corpus
+    # A's stats) receives the add-one mass log(1/(total+|V|)) instead of
+    # silently dropping out of the average — dropping OOV would bias the
+    # score UP for exactly the junk documents the filter exists to catch
+    oov = F.log(F.lit(1.0) / (F.col("_total") + F.col("_vocab")))
     return (
-        toks.join(F.broadcast(scored), "tok")
+        toks.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(scored), "tok", "left")
+        .withColumn("_lp", F.coalesce("logp", oov))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("logp"), 4).alias("avg_logp"),
+            F.round(F.avg("_lp"), 4).alias("avg_logp"),
         )
     )
 

@@ -63,6 +63,19 @@ def write_checkpoint(lineage: DataFrame, path: str, run_id: str, atomic: bool = 
     (readers see all of this run's rows or none of them)."""
     df = lineage.withColumn("run_id", F.lit(run_id))
     if atomic:
+        if (
+            os.path.isdir(path)
+            and not os.path.isdir(os.path.join(path, "_manifests"))
+            and any(f.endswith(".parquet") for f in os.listdir(path))
+        ):
+            # refusing beats silently shadowing: once _manifests exists the
+            # auto-detecting reader serves ONLY manifest-listed files, so
+            # committing a snapshot on top of plain appended parquet would
+            # make every pre-existing lineage row invisible to resume
+            raise ValueError(
+                f"{path!r} holds a plain append-only checkpoint; pass "
+                "atomic=False or migrate to a fresh path for snapshot commits"
+            )
         SnapshotTable(path).commit(df, run_id)
     else:
         df.write.mode("append").parquet(path)

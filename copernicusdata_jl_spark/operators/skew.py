@@ -71,13 +71,17 @@ def salted_join(
     salt_mod: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-balanced shuffle join: the big side appends a deterministic
-    per-ROW salt (``pmod(xxhash64(all cols), n)``), the small side is
-    replicated ``n`` ways (explode of a literal range), and the join runs
-    on ``(key..., salt)`` — a key holding 10^9 rows now spreads over
-    ``n`` reducers instead of one straggler task. Row-identical to the
-    plain join for ``inner``/``left`` (every big row meets exactly one
-    replica of each matching small row; tested bit-for-bit).
+    """Skew-balanced shuffle join: the big side appends a per-ROW salt,
+    the small side is replicated ``n`` ways (explode of a literal range),
+    and the join runs on ``(key..., salt)`` — a key holding 10^9 rows now
+    spreads over ``n`` reducers instead of one straggler task.
+    Row-identical to the plain join for the inner/left family (every big
+    row meets exactly one replica of each matching small row; tested
+    bit-for-bit). The salt comes from the row's POSITION
+    (``monotonically_increasing_id``), not a content hash: hot-key rows
+    are often content-identical (especially post-projection) and a
+    content hash would put them all back in one bucket. The join result
+    is salt-independent, so the salt needs no cross-run determinism.
 
     This is the MANUAL fallback for when AQE's skew-join splitting can't
     fire (e.g. the skewed side comes out of an aggregation AQE won't
@@ -89,7 +93,7 @@ def salted_join(
         # right/full would emit each UNMATCHED small-side row once per
         # replica (salt_mod duplicates) — refuse rather than be wrong
         raise ValueError(f"salted_join supports inner/left-family joins, not {how!r}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_mod))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_mod))
     b = big.withColumn("_salt", salt)
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_mod)]))

@@ -142,19 +142,29 @@ class SnapshotTable:
         ddir = os.path.join(self.path, "data")
         return sorted(d for d in os.listdir(ddir) if d not in live)
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(self, keep_versions: int = 1, min_age_s: float = 3600.0) -> list[str]:
         """Delete orphaned data directories and manifests older than the
         newest ``keep_versions`` snapshots (time travel shrinks
         accordingly; the latest snapshot is never touched). Because the
         latest manifest is self-contained, vacuum never breaks a reader
         that re-resolves the manifest; a reader holding an OLD version
         open races with its deletion — the same contract as Iceberg's
-        expire_snapshots. Returns what was deleted."""
+        expire_snapshots. Orphans younger than ``min_age_s`` are KEPT: an
+        in-flight committer's data directory looks orphaned between its
+        Spark write and its manifest publish, and deleting it would let
+        the publish succeed pointing at dead files (Iceberg's
+        remove_orphan_files ``older_than`` rule). Returns what was
+        deleted."""
         import shutil
+        import time
 
         deleted = []
+        now = time.time()
         for d in self.orphans():
-            shutil.rmtree(os.path.join(self.path, "data", d))
+            full = os.path.join(self.path, "data", d)
+            if now - os.path.getmtime(full) < min_age_s:
+                continue  # possibly an in-flight commit
+            shutil.rmtree(full)
             deleted.append(f"data/{d}")
         vs = self.versions()
         for v in vs[:-keep_versions] if keep_versions > 0 else []:

@@ -784,9 +784,12 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd")
     )
     z = F.abs(F.col("value") - F.col("_mu")) / F.col("_sd")
+    # _sd > 0 guards constant groups (sd=0) and single-row groups (sd
+    # NULL): IEEE x/0 semantics differ between engines, so the divide
+    # must never happen on either side
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(z > 3.0)
+        .filter((F.col("_sd") > 0) & (z > 3.0))
         .select("event_id", "event_type", F.round(z, 4).alias("z"))
         .orderBy("event_id")
     )
@@ -797,7 +800,7 @@ WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
            FROM events GROUP BY event_type)
 SELECT e.event_id, e.event_type, round(abs(e.value - s.mu) / s.sd, 4) AS z
 FROM events e JOIN s USING (event_type)
-WHERE abs(e.value - s.mu) / s.sd > 3.0
+WHERE s.sd > 0 AND abs(e.value - s.mu) / s.sd > 3.0
 ORDER BY e.event_id
 """
 

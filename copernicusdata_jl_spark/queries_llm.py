@@ -107,8 +107,9 @@ WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 s AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
 tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM s),
 lp AS (SELECT tok, ln((cnt + 1.0) / (total + vocab)) AS logp FROM s, tot)
-SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 4) AS avg_logp
-FROM t JOIN lp USING (tok)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(coalesce(logp, ln(1.0 / (total + vocab)))), 4) AS avg_logp
+FROM t CROSS JOIN tot LEFT JOIN lp USING (tok)
 GROUP BY doc_id ORDER BY doc_id
 """
 

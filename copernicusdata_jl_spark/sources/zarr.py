@@ -303,6 +303,8 @@ class _ConsolidatedStore(_Store):
         if key.rsplit("/", 1)[-1] in (".zgroup", ".zarray", ".zattrs"):
             m = self.meta.get(key)
             return json.dumps(m).encode() if m is not None else None
+        if key.rsplit("/", 1)[-1] == "zarr.json":
+            return None  # v2-consolidated store: don't leak v3 probes to S3
         return self.inner.read(key)
 
     def listdir(self, prefix: str) -> list[str]:
@@ -531,7 +533,7 @@ def _v3_decode_chunk(raw: bytes, codecs: list[dict], dtype: np.dtype, chunks: tu
             raise NotImplementedError(
                 f"zarr v3 array->array codec {c.get('name')!r} not supported"
             )
-        order = (c.get("configuration") or {}).get("order") or perm
+        order = (c.get("configuration") or {}).get("order") or list(range(len(chunks)))
         perm = [perm[i] for i in order]
     for c in reversed(codecs[bi + 1 :]):
         n = c.get("name")
@@ -574,7 +576,10 @@ def read_zarr_array_v3(store: _Store, key: str, meta: dict) -> tuple[np.ndarray,
     dims = meta.get("dimension_names")
     if dims:
         attrs.setdefault("_ARRAY_DIMENSIONS", list(dims))
-    if fill is not None:
+    # _cd_no_missing: the sink's marker that fill_value is only the spec-
+    # required hole value, NOT a missing sentinel (v3 forbids null fills)
+    no_missing = bool(attrs.pop("_cd_no_missing", False))
+    if fill is not None and not no_missing:
         attrs.setdefault("_FillValue", fill)
 
     arr = (
@@ -922,12 +927,17 @@ def write_zarr_datatree(tree, root: str, mode: str = "error", zarr_format: int =
             arr[idx] = vals.astype(dt)
             if v3:
                 if fill is None:
-                    v3fill = None  # JSON null: no missing sentinel (reader twin)
-                elif fill != fill:
-                    v3fill = "NaN"  # v3 spec spelling for float NaN
+                    # v3 REQUIRES a fill_value; write a spec-valid zero and
+                    # mark it as not-a-missing-sentinel so reads don't NULL
+                    # legitimate zeros (the v2 layout writes JSON null here)
+                    write_zarr_array_v3(
+                        d, col, arr,
+                        fill_value=(False if dt.kind == "b" else 0),
+                        dims=dims, attrs={"_cd_no_missing": True},
+                    )
                 else:
-                    v3fill = fill
-                write_zarr_array_v3(d, col, arr, fill_value=v3fill, dims=dims)
+                    v3fill = "NaN" if fill != fill else fill
+                    write_zarr_array_v3(d, col, arr, fill_value=v3fill, dims=dims)
             else:
                 write_zarr_array(
                     d, col, arr,

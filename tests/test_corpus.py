@@ -92,17 +92,22 @@ def test_unigram_logprob_hand_value(spark):
 
 
 def test_unigram_logprob_external_stats_smooths_oov(spark):
-    # scoring a slice against OTHER stats: oov token gets add-one mass
-    stats_src = _docs(spark, [(1, "a a a b")])
+    import math
+
+    # scoring a slice against OTHER stats: oov tokens get the add-one mass
+    # log(1/(total+|V|)) instead of dropping out of the average
+    stats_src = _docs(spark, [(1, "a a a b")])  # total=4, vocab=2
     stats = C.unigram_token_stats(stats_src)
-    slice_df = _docs(spark, [(9, "zzz")])
-    # oov join drops the token entirely → document absent (strict inner
-    # semantics documented); known tokens score fine
     known = _docs(spark, [(8, "a b")])
     rows = C.unigram_logprob(known, stats=stats).collect()
     assert rows[0].n_tokens == 2
-    out = C.unigram_logprob(slice_df, stats=stats).collect()
-    assert out == []  # oov-only doc has no scored tokens
+    out = {r.doc_id: r for r in C.unigram_logprob(
+        _docs(spark, [(9, "zzz zzz"), (10, "a zzz")]), stats=stats
+    ).collect()}
+    oov = math.log(1 / 6)
+    assert out[9].n_tokens == 2 and abs(out[9].avg_logp - round(oov, 4)) < 1e-9
+    mixed = (math.log(4 / 6) + oov) / 2
+    assert out[10].n_tokens == 2 and abs(out[10].avg_logp - round(mixed, 4)) < 2e-4
 
 
 # ---------------------------------------------------------------------------

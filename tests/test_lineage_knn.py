@@ -331,3 +331,25 @@ def test_salted_join_semi_anti_and_refuses_right(spark):
 
     with _pytest.raises(ValueError):
         salted_join(big, small, "k", 4, "full")
+
+
+def test_salted_join_spreads_identical_hot_rows(spark):
+    """Content-identical rows under the hot key must still get multiple
+    distinct salts (positional salt, not a content hash), and the result
+    stays row-identical to the plain join including duplicates."""
+    from pyspark.sql import functions as F
+
+    from copernicusdata_jl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([("hot", "x")] * 400 + [("cold", "y")],
+                                "k string, v string").repartition(4)
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, lbl int")
+    joined = salted_join(big, small, "k", 8)
+    a = sorted(map(tuple, joined.collect()))
+    b = sorted(map(tuple, big.join(small, "k").collect()))
+    assert a == b
+    n_salts = (
+        big.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+        .filter("k = 'hot'").select("_salt").distinct().count()
+    )
+    assert n_salts > 1  # identical rows spread across buckets

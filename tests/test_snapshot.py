@@ -81,7 +81,7 @@ def test_vacuum_removes_orphans_keeps_latest_readable(spark, tmp_path):
     t.commit(_df(spark, 0, 3), "a")
     t.commit(_df(spark, 3, 7), "b")
     _df(spark, 0, 1).write.parquet(os.path.join(t.path, "data", "dead"))
-    deleted = t.vacuum(keep_versions=1)
+    deleted = t.vacuum(keep_versions=1, min_age_s=0.0)
     assert "data/dead" in deleted and "_manifests/v00000000.json" in deleted
     assert t.versions() == [1]
     assert t.read(spark).count() == 7  # latest snapshot intact (append semantics)
@@ -102,3 +102,26 @@ def test_lineage_resume_over_atomic_checkpoint(spark, tmp_path):
     _df(spark, 0, 1).write.parquet(os.path.join(ckpt, "data", "torn"))
     lin3, skip3 = L.run_with_resume(df, "bucket", ckpt, "run3", "cell_id", atomic=True)
     assert (lin3.count(), skip3) == (0, 4)
+
+
+def test_vacuum_keeps_fresh_orphans(spark, tmp_path):
+    """An in-flight commit's data dir (young orphan) survives vacuum; the
+    default min_age guards the write→publish window."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 2), "a")
+    _df(spark, 9, 10).write.parquet(os.path.join(t.path, "data", "inflight"))
+    assert t.vacuum(keep_versions=1) == []  # too young to delete
+    assert t.orphans() == ["inflight"]
+    assert "data/inflight" in t.vacuum(keep_versions=1, min_age_s=0.0)
+
+
+def test_atomic_checkpoint_refuses_mixed_layout(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 8).selectExpr("id % 2 AS bucket", "id AS cell_id", "id AS x")
+    L.run_with_resume(df, "bucket", ckpt, "run1", "cell_id", atomic=False)
+    df2 = spark.range(0, 8).selectExpr("id % 4 AS bucket", "id AS cell_id", "id AS x")
+    with pytest.raises(ValueError, match="plain append-only"):
+        L.run_with_resume(df2, "bucket", ckpt, "run2", "cell_id", atomic=True)
+    # the plain layout keeps working
+    _, skip = L.run_with_resume(df, "bucket", ckpt, "run3", "cell_id", atomic=False)
+    assert skip == 2
