@@ -80,6 +80,7 @@ def dup_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    hashed: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-span statistics via positional k-grams.
 
@@ -91,16 +92,19 @@ def dup_span_stats(
     Scale shape: ``total_grams`` is computed map-side from the token count
     (no explode); the positional explode feeds ONE aggregate keyed by gram
     (map-side partial count-distinct via the (gram, doc) pre-distinct) and
-    the join back to positions reuses that hash partitioning (AQE); at
-    100 TB the gram key would be a 64-bit ``xxhash64`` instead of the
-    string (same plan, 8-byte keys) — the string key here keeps the DuckDB
-    oracle exact.
+    the join back to positions reuses that hash partitioning (AQE).
+    ``hashed=True`` is the 100 TB flavor: the gram key becomes a 64-bit
+    ``xxhash64`` (same plan, 8-byte shuffle keys instead of strings;
+    pair-set parity with the string flavor pinned in tests — the string
+    key is what keeps the DuckDB oracle exact).
     """
     toks = F.split(F.col(text_col), " ")
     total = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     base = corpus.select(F.col(id_col), total.alias("total_grams"),
                          word_ngrams_expr(F.col(text_col), k, distinct=False).alias("_g"))
     pos = base.select(id_col, F.explode("_g").alias("gram"))
+    if hashed:
+        pos = pos.withColumn("gram", F.xxhash64("gram"))
     hot = (
         pos.select(id_col, "gram").distinct()
         .groupBy("gram")

@@ -508,6 +508,29 @@ _V3_DTYPES = {
 }
 
 
+_CRC32C_TABLE: list[int] | None = None
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the v3 ``crc32c``
+    checksum codec. Table-driven; driver-side decode over chunk-sized
+    buffers (the reference's chunks are ≤ a few MB). Pinned against the
+    published check value crc32c(b"123456789") == 0xE3069283."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tab = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tab.append(c)
+        _CRC32C_TABLE = tab
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
 def _v3_fill_value(fill, dtype: np.dtype):
     """v3 JSON fill_value → numpy scalar (special float spellings per spec)."""
     if fill is None:
@@ -543,6 +566,14 @@ def _v3_decode_chunk(raw: bytes, codecs: list[dict], dtype: np.dtype, chunks: tu
             raw = zlib.decompress(raw)
         elif n == "blosc":
             raw = blosc_decompress(raw)  # shuffle mode is in the frame header
+        elif n == "crc32c":
+            body, stored = raw[:-4], struct.unpack("<I", raw[-4:])[0]
+            got = crc32c(body)
+            if got != stored:
+                raise ValueError(
+                    f"crc32c mismatch: stored {stored:#010x}, computed {got:#010x}"
+                )
+            raw = body
         else:
             raise NotImplementedError(f"zarr v3 codec {n!r} not supported")
     endian = (codecs[bi].get("configuration") or {}).get("endian", "little")

@@ -280,3 +280,13 @@ def test_corpus_ops_on_empty_input(spark):
     assert C.unigram_logprob(empty).count() == 0
     bench = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     assert C.decontaminate(empty, bench, n=4).count() == 0
+
+
+def test_dup_span_stats_hashed_flavor_matches_string(spark):
+    corpus = _docs(
+        spark,
+        [(1, "a b c d e x y z w v"), (2, "q a b c d e"), (3, "p q r s t u")],
+    )
+    a = sorted(map(tuple, C.dup_span_stats(corpus, k=5).collect()))
+    b = sorted(map(tuple, C.dup_span_stats(corpus, k=5, hashed=True).collect()))
+    assert a == b

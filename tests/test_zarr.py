@@ -520,3 +520,31 @@ def test_zarr_v3_transpose_codec(spark, tmp_path):
         f.write(gzip.compress(np.ascontiguousarray(stored).tobytes()))
     got, _ = read_zarr_array_v3(_DirStore(root), "a", meta)
     assert np.array_equal(got, a)
+
+
+def test_zarr_v3_crc32c_codec():
+    """crc32c: published check value, verified strip in the pipeline, and
+    a corrupted byte raises (never silent wrong bytes)."""
+    import gzip
+    import struct
+
+    import pytest as _pytest
+
+    from copernicusdata_jl_spark.sources.zarr import _v3_decode_chunk, crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+    data = np.arange(16, dtype="<i4")
+    codecs = [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "gzip", "configuration": {"level": 1}},
+        {"name": "crc32c"},
+    ]
+    payload = gzip.compress(data.tobytes())
+    chunk = payload + struct.pack("<I", crc32c(payload))
+    got = _v3_decode_chunk(chunk, codecs, np.dtype("i4"), (16,))
+    assert np.array_equal(got, data)
+    bad = bytes([chunk[0] ^ 0xFF]) + chunk[1:]
+    with _pytest.raises(ValueError, match="crc32c mismatch"):
+        _v3_decode_chunk(bad, codecs, np.dtype("i4"), (16,))
