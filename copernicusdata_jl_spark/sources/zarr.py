@@ -17,10 +17,11 @@ Zarr v2 spec directly:
   decompressor (Collet's public block format: token, literals, 2-byte LE
   match offset, overlap-safe match copy) — enough to open the
   reference's own committed fixture ``test/resources/yax.zarr``
-  (blosc/lz4/shuffle) natively. Byte-shuffle AND bit-shuffle are both
-  decoded (NumPy-vectorized, per-block); the ``delta`` filter chain and
+  (blosc/lz4/shuffle) natively, plus a pure-Python snappy block decoder
+  (blosc codec 3). Byte-shuffle AND bit-shuffle are both decoded
+  (NumPy-vectorized, per-block); the ``delta`` filter chain and
   fixed-width string dtypes (``|S``/``<U``) are supported. Only
-  zstd/snappy-inside-blosc raise, with a clear message (no silent wrong
+  zstd-inside-blosc raises, with a clear message (no silent wrong
   bytes).
 
 Tree mapping (same model as the parquet tree, sources/datatree.py): every
@@ -98,6 +99,59 @@ def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
     if len(dst) != dst_size:
         raise ValueError(f"LZ4 block decoded {len(dst)} bytes, expected {dst_size}")
     return bytes(dst)
+
+
+def snappy_block_decompress(buf: bytes) -> bytes:
+    """Pure-Python snappy raw-block decoder (Google's public format:
+    varint32 uncompressed-length preamble, then a tag stream of literals
+    and 1/2/4-byte-offset copies with overlap-safe semantics). Covers
+    blosc's inner codec 3; malformed streams raise, never wrong bytes."""
+    n, shift, i = 0, 0, 0
+    while True:
+        b = buf[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    ln_buf = len(buf)
+    while i < ln_buf:
+        tag = buf[i]
+        i += 1
+        t = tag & 3
+        if t == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60..63 → that many extra little-endian length bytes
+                nb = ln - 59
+                ln = int.from_bytes(buf[i : i + nb], "little")
+                i += nb
+            ln += 1
+            if i + ln > ln_buf:
+                raise ValueError("snappy literal runs past the buffer")
+            out += buf[i : i + ln]
+            i += ln
+            continue
+        if t == 1:  # copy, 1-byte offset: len 4..11, 11-bit offset
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | buf[i]
+            i += 1
+        elif t == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(buf[i : i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(buf[i : i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy copy offset out of range")
+        start = len(out) - off
+        for k in range(start, start + ln):  # byte-wise: overlapping copies repeat
+            out.append(out[k])
+    if len(out) != n:
+        raise ValueError(f"snappy decoded {len(out)} bytes, expected {n}")
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +241,8 @@ def blosc_decompress(chunk: bytes) -> bytes:
             block = lz4_block_decompress(payload, neblock)
         elif codec == "zlib":
             block = zlib.decompress(payload)
+        elif codec == "snappy":
+            block = snappy_block_decompress(payload)
         else:
             raise NotImplementedError(
                 f"blosc inner codec {codec!r} not supported by the pure-Python reader"

@@ -548,3 +548,59 @@ def test_zarr_v3_crc32c_codec():
     bad = bytes([chunk[0] ^ 0xFF]) + chunk[1:]
     with _pytest.raises(ValueError, match="crc32c mismatch"):
         _v3_decode_chunk(bad, codecs, np.dtype("i4"), (16,))
+
+
+def test_snappy_block_decoder():
+    """Hand-assembled streams per Google's public snappy block format:
+    literal-only, long-literal (extra length byte), 2-byte-offset copy,
+    1-byte-offset OVERLAPPING copy (RLE idiom), and corruption errors."""
+    from copernicusdata_jl_spark.sources.zarr import snappy_block_decompress as dec
+
+    # literal only: "hello" → varint 5, tag (5-1)<<2, bytes
+    assert dec(bytes([5, (5 - 1) << 2]) + b"hello") == b"hello"
+
+    # long literal (>60 bytes): tag 60<<2 + 1 length byte (len-1)
+    data = bytes(range(100))
+    s = bytes([100, 60 << 2, 99]) + data
+    assert dec(s) == data
+
+    # literal "abcd" + 2-byte-offset copy len 12 off 4 → "abcd"*4
+    s = bytes([16, (4 - 1) << 2]) + b"abcd" + bytes([((12 - 1) << 2) | 2, 4, 0])
+    assert dec(s) == b"abcd" * 4
+
+    # 1-byte-offset overlapping copy: literal "ab", copy len 6 off 2
+    tag1 = 0b01 | ((6 - 4) << 2) | ((2 >> 8) << 5)
+    s = bytes([8, (2 - 1) << 2]) + b"ab" + bytes([tag1, 2 & 0xFF])
+    assert dec(s) == b"abababab"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # offset beyond produced output
+        dec(bytes([4, (1 - 1) << 2]) + b"x" + bytes([0b01 | 0, 9]))
+    with _pytest.raises(ValueError):  # wrong declared length
+        dec(bytes([9, (5 - 1) << 2]) + b"hello")
+
+
+def test_blosc_snappy_chunk_decodes():
+    """blosc chunk with inner codec snappy (id 3) + byte shuffle."""
+    import struct
+
+    from copernicusdata_jl_spark.sources.zarr import _unshuffle, blosc_decompress
+
+    data = (b"abcd" * 16)  # compressible, typesize 4
+    # shuffle forward = inverse of _unshuffle's transpose
+    n = len(data) // 4
+    shuffled = bytes(
+        np.frombuffer(data, np.uint8).reshape(n, 4).T.copy().tobytes()
+    )
+    assert _unshuffle(shuffled, 4) == data
+    # snappy-encode the shuffled buffer: it is 'aaaa…bbbb…cccc…dddd…'
+    # (4 runs of 16) → literal 4 + overlapping copies… keep it simple:
+    # one literal of the whole buffer (still a valid snappy stream)
+    payload = bytes([len(shuffled), 60 << 2, len(shuffled) - 1]) + shuffled
+    body = struct.pack("<I", len(payload)) + payload
+    hdr = bytes([2, 1, 0x1 | (3 << 5), 4]) + struct.pack(
+        "<III", len(data), len(data), 16 + 4 + len(body)
+    )
+    chunk = hdr + struct.pack("<I", 20) + body
+    assert blosc_decompress(chunk) == data
