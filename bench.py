@@ -66,6 +66,8 @@ HEADLINE = [
     "training_mix",
     "table_profile",
     "zscore_outliers",
+    "bpe_pairs",
+    "corpus_diff",
 ]
 
 

@@ -295,6 +295,44 @@ def temperature_sample(
     )
 
 
+def bpe_pair_counts(
+    corpus: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """One BPE-training iteration, distributed (Sennrich et al. 2016):
+    corpus-wide counts of adjacent symbol pairs, weighted by word
+    frequency. Returns ``(pair, cnt)`` (optionally top-k by count).
+
+    Scale shape: the word-frequency aggregate collapses the corpus to its
+    vocabulary FIRST (map-side partials; web-scale corpora have ~10^7
+    distinct words vs 10^12 tokens), so the pair explode runs over vocab
+    rows, not corpus rows — the standard trick that makes BPE training
+    tractable. Pairs come from the same slice+zip_with construction as
+    the shingles (JVM-side, no Python).
+    """
+    words = (
+        corpus.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = F.split(F.col("w"), "")
+    cnt = F.greatest(F.size(chars) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(chars, 1, cnt), F.slice(chars, 2, cnt),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    out = (
+        words.select(F.explode(pairs).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("cnt"), "pair").limit(top_k)
+    return out
+
+
 def host_frequency_cap(
     corpus: DataFrame,
     cap: int,

@@ -345,6 +345,73 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE pair counts + corpus version diff
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ One distributed BPE-training iteration (operators/corpus.
+    bpe_pair_counts, Sennrich et al. 2016): corpus-wide adjacent-symbol
+    pair counts weighted by word frequency — the corpus collapses to its
+    vocabulary BEFORE the pair explode (10^7 vocab rows vs 10^12 tokens)."""
+    from .operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents")
+    return C.bpe_pair_counts(docs).orderBy(F.desc("cnt"), "pair")
+
+
+def _bpe_pairs_sql() -> str:
+    return """
+WITH w AS (SELECT tok AS w, count(*) AS wc
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+           WHERE tok <> '' GROUP BY tok),
+p AS (SELECT unnest(list_transform(range(1, length(w)), i -> w[i] || ' ' || w[i+1])) AS pair, wc
+      FROM w)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Corpus version diff by content digest: v2 simulated
+    deterministically (doc_id % 7 == 0 removed, % 11 == 0 edited); full
+    outer join on id, status from digest comparison — the audit step
+    between two releases of a training set."""
+    docs = load(spark, sf_dir, "documents")
+    v2 = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    a = docs.select("doc_id", F.md5(F.col("text")).alias("h1"))
+    b = v2.select("doc_id", F.md5(F.col("text")).alias("h2"))
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select("doc_id", status.alias("status")).orderBy("doc_id")
+
+
+def _corpus_diff_sql() -> str:
+    return """
+WITH a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+b AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h2
+      FROM documents WHERE doc_id % 7 <> 0)
+SELECT doc_id,
+       CASE WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 IS NULL THEN 'added'
+            WHEN h1 <> h2 THEN 'changed'
+            ELSE 'same' END AS status
+FROM a FULL OUTER JOIN b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "decontaminate": (q_decontaminate, _decontaminate_sql()),
     "dup_spans": (q_dup_spans, _dup_spans_sql()),
@@ -354,4 +421,6 @@ LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "pack_sequences": (q_pack_sequences, _pack_sequences_sql()),
     "temperature_sample": (q_temperature_sample, _temperature_sample_sql()),
     "training_mix": (q_training_mix, _training_mix_sql()),
+    "bpe_pairs": (q_bpe_pairs, _bpe_pairs_sql()),
+    "corpus_diff": (q_corpus_diff, _corpus_diff_sql()),
 }
