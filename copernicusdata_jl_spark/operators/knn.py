@@ -341,6 +341,20 @@ def _knn_kring_driver_state(
                 finals.append(ranked.filter(F.col(query_id_col).isin(done_ids)))
             pending = still
 
+        if not finals:
+            # explicit state="driver" with an empty query set: mirror the
+            # dataframe path's empty-result contract instead of IndexError
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(query_id_col, T.LongType()),
+                        T.StructField(point_id_col, T.LongType()),
+                        T.StructField("rank", T.IntegerType()),
+                        T.StructField("dist_m", T.DoubleType()),
+                    ]
+                ),
+            )
         out = finals[0]
         for extra in finals[1:]:
             out = out.unionByName(extra)

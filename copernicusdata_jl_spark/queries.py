@@ -787,9 +787,12 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _sd > 0 guards constant groups (sd=0) and single-row groups (sd
     # NULL): IEEE x/0 semantics differ between engines, so the divide
     # must never happen on either side
+    # filter on the ROUNDED z so a borderline row (z ≈ 3.0 to float noise
+    # from engine-specific accumulation order) lands on the same side in
+    # Spark and the DuckDB oracle — the registry's explicit-rounding rule
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter((F.col("_sd") > 0) & (z > 3.0))
+        .filter((F.col("_sd") > 0) & (F.round(z, 4) > 3.0))
         .select("event_id", "event_type", F.round(z, 4).alias("z"))
         .orderBy("event_id")
     )
@@ -800,7 +803,7 @@ WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
            FROM events GROUP BY event_type)
 SELECT e.event_id, e.event_type, round(abs(e.value - s.mu) / s.sd, 4) AS z
 FROM events e JOIN s USING (event_type)
-WHERE s.sd > 0 AND abs(e.value - s.mu) / s.sd > 3.0
+WHERE s.sd > 0 AND round(abs(e.value - s.mu) / s.sd, 4) > 3.0
 ORDER BY e.event_id
 """
 

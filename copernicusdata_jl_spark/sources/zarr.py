@@ -225,8 +225,11 @@ def blosc_decompress(chunk: bytes) -> bytes:
             return _unshuffle(block, typesize)
         return block
 
-    if flags & 0x2:  # memcpyed: payload is the raw buffer
-        return _undo(chunk[16 : 16 + nbytes])
+    if flags & 0x2:
+        # memcpyed: c-blosc's fallback (incompressible data or buffers
+        # <128 B) memcpys the ORIGINAL, never-shuffled source while
+        # leaving the shuffle flag bits set — so no _undo here.
+        return chunk[16 : 16 + nbytes]
     codec = _BLOSC_CODECS.get(flags >> 5, "?")
     nblocks = (nbytes + blocksize - 1) // blocksize
     bstarts = struct.unpack(f"<{nblocks}I", chunk[16 : 16 + 4 * nblocks])
@@ -324,8 +327,15 @@ class _S3Store(_Store):
     def read(self, key: str) -> bytes | None:
         try:
             return self.client.get_object(Bucket=self.bucket, Key=self._key(key))["Body"].read()
-        except Exception:
-            return None
+        except Exception as exc:
+            # Only a genuinely-absent key maps to "missing chunk" (the
+            # assembler turns None into fill_value); transient S3 faults
+            # (throttle, auth, network) must fail the read, not silently
+            # materialize fill data.
+            code = getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+            if code in ("NoSuchKey", "404", "NoSuchBucket"):
+                return None
+            raise
 
     def listdir(self, prefix: str) -> list[str]:
         base = self._key(prefix).rstrip("/") + "/"

@@ -28,7 +28,14 @@ def test_reference_fixture_opens_natively(spark):
     assert [r["Dim_1"] for r in rows] == list(range(1, 101))
     # fill_value surfaced the reference way: per-variable missing_value
     assert float(t.properties["missing_value"]["layer"]) == 1.0e32
-    assert t["grp1"].data.count() == 10
+    # grp1 value checks (not just count): Dim_1 is 1..10 stored as a
+    # blosc-memcpyed chunk with the shuffle flag set (flags 0x33) — the
+    # c-blosc fallback case where the payload is NOT actually shuffled
+    g = t["grp1"].data.orderBy("idx_Dim_1").collect()
+    assert len(g) == 10
+    assert [r["Dim_1"] for r in g] == list(range(1, 11))
+    a1 = np.array([r["a1"] for r in g], dtype=float)
+    assert np.all(np.isfinite(a1)) and a1.shape == (10,)
 
 
 def test_zip_twin_isomorphic(spark):
@@ -145,9 +152,11 @@ def test_blosc_bitshuffle_chunk_decodes():
     chunk = hdr + struct.pack("<I", bstart) + body
     assert blosc_decompress(chunk) == data
 
-    # memcpyed flavor (0x2): payload is the shuffled buffer verbatim
+    # memcpyed flavor (0x2): c-blosc's fallback memcpys the ORIGINAL
+    # unshuffled buffer while leaving the shuffle flag set, so the reader
+    # must return the payload verbatim (no unshuffle)
     hdr2 = bytes([2, 1, 0x4 | 0x2, 4]) + struct.pack("<III", len(data), len(data), 16 + len(data))
-    assert blosc_decompress(hdr2 + shuffled) == data
+    assert blosc_decompress(hdr2 + data) == data
 
 
 def test_zarr_delta_filter_and_string_dtypes(spark, tmp_path):
