@@ -288,8 +288,14 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling) → temperature resampling of the surviving source mix — the
     whole training-mix construction as ONE declarative plan (each stage's
     individual oracle lives in its own registry entry; this one pins the
-    composition). At 100 TB the dedup window keys on a text hash rather
-    than the text itself (dedup_exact twin) — same plan shape."""
+    composition). The dedup stage keys its one Exchange on
+    ``xxhash64(text)`` (8 bytes) — never the text bytes — and the window
+    runs over ``(_h, text)`` on top of that distribution (a hash
+    partitioning on a subset of the clustering satisfies the window's
+    requirement, so Catalyst adds no second Exchange; the text column in
+    the window spec is the equality tie-check that keeps the result exact
+    under hash collisions). Plan-asserted in tests/test_plans.py: no
+    Exchange carries text."""
     from pyspark.sql import Window
 
     from .functions.text import repetition_ratio_expr, token_count_expr
@@ -298,9 +304,12 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     capped = C.host_frequency_cap(docs, _MIX_CAP).select("doc_id")
     base = docs.join(capped, "doc_id")
-    w = Window.partitionBy("text").orderBy("doc_id")
+    hashed = base.withColumn("_h", F.xxhash64("text")).repartition(F.col("_h"))
+    w = Window.partitionBy("_h", "text").orderBy("doc_id")
     deduped = (
-        base.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_h")
     )
     gated = deduped.filter(
         (token_count_expr(F.col("text")) >= _MIX_MIN_TOKENS)

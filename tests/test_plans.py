@@ -179,3 +179,20 @@ def test_pack_and_mix_plans_scale_out(spark):
 
     p2 = plan_of(q_temperature_sample(spark, SF_DIR))
     assert "SortMergeJoin" not in p2 and "ShuffledHashJoin" not in p2
+
+
+def test_training_mix_dedup_exchange_never_keys_on_text(spark):
+    """The dedup stage's one Exchange must key on xxhash64(text) (8-byte
+    long), never the text bytes; the (_h, text) window reuses that
+    distribution (subset-clustering rule) so no second Exchange appears.
+    Text as a shuffle key is the round-3 verdict's last scale wart."""
+    import re
+
+    from copernicusdata_jl_spark.queries_llm import q_training_mix
+
+    plan = q_training_mix(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    keyed_on_text = [l for l in exchanges if re.search(r"text#\d+", l)]
+    assert not keyed_on_text, keyed_on_text
+    # and the hash repartition is actually present (the scale key exists)
+    assert any(re.search(r"hashpartitioning\(_h#\d+L", l) for l in exchanges)
