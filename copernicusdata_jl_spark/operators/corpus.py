@@ -358,3 +358,150 @@ def host_frequency_cap(
     kept = topk_per_group(sel, ["host"], [F.col("_ord").asc(), F.col(id_col).asc()],
                           cap, rank_col="rk")
     return kept.select(id_col, "host", "rk")
+
+
+def dup_span_islands(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Contiguous duplicated spans per document — Lee et al. 2021's actual
+    removal unit, built from the same positional k-gram multiplicity as
+    :func:`dup_span_stats` plus a gaps-and-islands window.
+
+    A gram *position* (1-based) is duplicated when its k-gram occurs in
+    ≥ ``min_docs`` distinct documents; maximal runs of consecutive
+    duplicated positions collapse to one row
+    ``(id, span_start, n_grams, span_tokens)`` where ``span_tokens =
+    last_pos - span_start + k`` is the token length the span covers.
+
+    Scale shape: identical to ``dup_span_stats`` up to the join back
+    (gram-keyed aggregate, hot-gram semi side reuses the partitioning),
+    then the islands window shuffles only ``(id, pos)`` int pairs keyed by
+    the document id — the text and grams never reach it. The classic
+    ``pos - row_number()`` grouping key turns each maximal run into one
+    group so the whole merge is a single window + aggregate, no iteration.
+    """
+    pos = corpus.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams_expr(F.col(text_col), k, distinct=False)).alias("_p0", "gram"),
+    ).select(id_col, (F.col("_p0") + 1).alias("p"), "gram")
+    hot = (
+        pos.select(id_col, "gram").distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    dup = pos.join(hot, "gram").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    return (
+        dup.withColumn("_grp", F.col("p") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("p").alias("span_start"),
+            F.count(F.lit(1)).alias("n_grams"),
+            (F.max("p") - F.min("p") + k).alias("span_tokens"),
+        )
+        .drop("_grp")
+    )
+
+
+def bpe_train_merges(
+    corpus: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full BPE-trainer loop (Sennrich et al. 2016 Alg. 1) on top of the
+    :func:`bpe_pair_counts` step: iterate ``n_merges`` times — count
+    adjacent symbol pairs weighted by word frequency, pick the argmax
+    (ties broken on the pair string for determinism), rewrite the
+    vocabulary by merging that pair, repeat. Returns the learned merge
+    table ``(merge_rank, lft, rgt, cnt)``.
+
+    Scale shape: the corpus collapses to its vocabulary ONCE (~10^7 rows
+    at web scale vs 10^12 tokens) and every iteration thereafter touches
+    vocab rows only — the per-round work is one pair explode + one
+    aggregate whose result reduces to a single collected row (the argmax
+    is the algorithm's sequential dependency; nothing data-sized ever
+    reaches the driver). The merge rewrite is a greedy leftmost fold
+    (``F.aggregate``) over the symbol list with a string accumulator —
+    exact BPE semantics incl. the overlapping-occurrence case
+    ("a b a b" → "ab ab") that a naive padded string replace gets wrong —
+    and stays entirely JVM-side (static regex patterns only, so symbol
+    content never needs escaping). Each round persists the rewritten
+    vocab and unpersists the previous one, keeping lineage flat for
+    large ``n_merges``.
+    """
+    spark = corpus.sparkSession
+    vocab = (
+        corpus.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(F.array_join(F.split("w", ""), " ").alias("sym"), "wc")
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    prev = vocab
+    try:
+        for rank in range(1, n_merges + 1):
+            syms = F.split(F.col("sym"), " ")
+            n = F.greatest(F.size(syms) - 1, F.lit(0))
+            pairs = F.zip_with(
+                F.slice(syms, 1, n), F.slice(syms, 2, n),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+            top = (
+                prev.select(F.explode(pairs).alias("pair"), "wc")
+                .groupBy("pair")
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.desc("cnt"), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            lft, rgt = top[0]["pair"].split(" ", 1)
+            merges.append((rank, lft, rgt, int(top[0]["cnt"])))
+            merged = lft + rgt
+
+            def make_step(lft: str, rgt: str, merged: str):
+                # pyspark's HOF bridge requires a bare (acc, x) signature,
+                # so the merge pair binds via this factory closure
+                def step(acc: Column, x: Column) -> Column:
+                    is_merge = (F.regexp_extract(acc, "[^ ]*$", 0) == F.lit(lft)) & (
+                        x == F.lit(rgt)
+                    )
+                    head = F.when(acc == F.lit(lft), F.lit("")).otherwise(
+                        F.concat(F.regexp_replace(acc, " [^ ]*$", ""), F.lit(" "))
+                    )
+                    return F.when(is_merge, F.concat(head, F.lit(merged))).otherwise(
+                        F.concat(acc, F.lit(" "), x)
+                    )
+
+                return step
+
+            new_sym = F.aggregate(
+                F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                F.element_at(syms, 1),
+                make_step(lft, rgt, merged),
+            )
+            nxt = prev.select(new_sym.alias("sym"), "wc").persist()
+            prev.unpersist()
+            prev = nxt
+    finally:
+        prev.unpersist()
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.IntegerType()),
+            T.StructField("lft", T.StringType()),
+            T.StructField("rgt", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)

@@ -382,6 +382,83 @@ FROM p GROUP BY pair ORDER BY cnt DESC, pair
 """
 
 
+def q_dup_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Contiguous duplicated spans (operators/corpus.dup_span_islands):
+    maximal runs of consecutive duplicated 5-gram positions merged to
+    (doc_id, span_start, n_grams, span_tokens) rows via the
+    gaps-and-islands window — Lee et al. 2021's removal unit."""
+    docs = load(spark, sf_dir, "documents")
+    return C.dup_span_islands(docs, k=_SPAN_K, min_docs=_SPAN_MIN_DOCS).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def _dup_span_islands_sql() -> str:
+    k = _SPAN_K
+    grams = D.word_ngrams_sql("text", k, distinct=False)
+    return f"""
+WITH g AS (SELECT doc_id, {grams} AS gl FROM documents),
+pos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS p, gl[CAST(u.i AS INT)] AS gram
+        FROM g, unnest(range(1, len(gl) + 1)) AS u(i)),
+hot AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY gram) t
+  WHERE nd >= {_SPAN_MIN_DOCS}),
+dp AS (SELECT doc_id, p FROM pos JOIN hot USING (gram)),
+isl AS (SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM dp)
+SELECT doc_id, min(p) AS span_start, CAST(count(*) AS BIGINT) AS n_grams,
+       max(p) - min(p) + {k} AS span_tokens
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+_BPE_MERGES = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Full BPE-trainer loop (operators/corpus.bpe_train_merges,
+    Sennrich et al. 2016 Alg. 1): 3 merge iterations — pair count, argmax,
+    greedy leftmost vocab rewrite — over the vocab-collapsed corpus; the
+    learned merge table (merge_rank, lft, rgt, cnt) is the result."""
+    docs = load(spark, sf_dir, "documents")
+    return C.bpe_train_merges(docs, n_merges=_BPE_MERGES).orderBy("merge_rank")
+
+
+def _bpe_merges_sql() -> str:
+    """Chained-CTE iterative twin: one (pairs, argmax, rewrite) block per
+    merge, the rewrite as the same greedy leftmost list_reduce fold Spark
+    runs (string accumulator; CROSS JOIN carries the argmax row into the
+    lambda)."""
+    ctes = [
+        """words AS (SELECT tok AS w, count(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+  WHERE tok <> '' GROUP BY tok)""",
+        "v0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS sym, wc FROM words)",
+    ]
+    for r in range(1, _BPE_MERGES + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair, wc
+  FROM (SELECT string_split(sym, ' ') AS l, wc FROM v{r - 1}) t)""")
+        ctes.append(f"""m{r} AS (
+  SELECT {r} AS merge_rank, split_part(pair, ' ', 1) AS lft, split_part(pair, ' ', 2) AS rgt,
+         CAST(sum(wc) AS BIGINT) AS cnt
+  FROM p{r} GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""")
+        if r < _BPE_MERGES:
+            ctes.append(f"""v{r} AS (
+  SELECT list_reduce(string_split(sym, ' '), (acc, x) -> CASE
+    WHEN regexp_extract(acc, '[^ ]*$') = lft AND x = rgt
+    THEN CASE WHEN acc = lft THEN '' ELSE regexp_replace(acc, ' [^ ]*$', '') || ' ' END
+         || lft || rgt
+    ELSE acc || ' ' || x END) AS sym, wc
+  FROM v{r - 1} CROSS JOIN m{r})""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, _BPE_MERGES + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT merge_rank, lft, rgt, cnt FROM ({union}) ORDER BY merge_rank"
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """☆ Corpus version diff by content digest: v2 simulated
     deterministically (doc_id % 7 == 0 removed, % 11 == 0 edited); full
@@ -432,4 +509,6 @@ LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "training_mix": (q_training_mix, _training_mix_sql()),
     "bpe_pairs": (q_bpe_pairs, _bpe_pairs_sql()),
     "corpus_diff": (q_corpus_diff, _corpus_diff_sql()),
+    "dup_span_islands": (q_dup_span_islands, _dup_span_islands_sql()),
+    "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
 }

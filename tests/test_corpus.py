@@ -290,3 +290,77 @@ def test_dup_span_stats_hashed_flavor_matches_string(spark):
     a = sorted(map(tuple, C.dup_span_stats(corpus, k=5).collect()))
     b = sorted(map(tuple, C.dup_span_stats(corpus, k=5, hashed=True).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# dup_span_islands
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_islands_merges_consecutive_positions(spark):
+    """Two docs share the 8-token prefix -> positions 1..4 of 5-grams are
+    duplicated and must collapse to ONE island covering 8 tokens; the
+    distinct tails produce no island."""
+    shared = "a b c d e f g h"
+    docs = _docs(spark, [(1, shared + " x1 y1 z1"), (2, shared + " x2 y2 z2")])
+    rows = {
+        (r["doc_id"], r["span_start"]): r
+        for r in C.dup_span_islands(docs, k=5, min_docs=2).collect()
+    }
+    assert set(rows) == {(1, 1), (2, 1)}
+    for key in rows:
+        assert rows[key]["n_grams"] == 4
+        assert rows[key]["span_tokens"] == 8  # 4 gram positions + k-1
+
+
+def test_dup_span_islands_splits_on_gap(spark):
+    """Duplicated positions separated by a unique gap form TWO islands."""
+    d1 = "p q r s t U1 U2 U3 U4 U5 v w x y z"
+    d2 = "p q r s t A1 A2 A3 A4 A5 v w x y z"
+    docs = _docs(spark, [(1, d1), (2, d2)])
+    out = C.dup_span_islands(docs, k=5, min_docs=2).filter(F.col("doc_id") == 1)
+    isl = sorted((r["span_start"], r["n_grams"], r["span_tokens"]) for r in out.collect())
+    # only gram position 1 ("p q r s t") and position 11 ("v w x y z")
+    # are cross-doc duplicates; the overlap grams mix unique tokens
+    assert isl == [(1, 1, 5), (11, 1, 5)]
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_trainer_matches_sennrich_by_hand(spark):
+    """Classic fixture: corpus 'low low lower' -> first merge is the most
+    frequent adjacent char pair; hand-traced two iterations."""
+    docs = _docs(spark, [(1, "low low lower")])
+    m = {r["merge_rank"]: (r["lft"], r["rgt"], r["cnt"]) for r in
+         C.bpe_train_merges(docs, n_merges=2).collect()}
+    # vocab: low:2, lower:1 -> pairs l-o:3, o-w:3, w-e:1, e-r:1
+    # tie l o vs o w broken on pair string: "l o" < "o w"
+    assert m[1] == ("l", "o", 3)
+    # after merge: "lo w":2, "lo w e r":1 -> lo-w:3 wins
+    assert m[2] == ("lo", "w", 3)
+
+
+def test_bpe_merge_rewrite_handles_overlapping_occurrences(spark):
+    """The greedy fold must merge BOTH 'a b' occurrences in 'abab' (the
+    case a padded string-replace misses because the shared space is
+    consumed by the first match) and merge 'a a a' left-to-right."""
+    docs = _docs(spark, [(1, "abab abab aaa")])
+    m = {r["merge_rank"]: (r["lft"], r["rgt"], r["cnt"]) for r in
+         C.bpe_train_merges(docs, n_merges=2).collect()}
+    # pairs: a-b x2 per 'abab' word (wc=2) = 4; b-a = 2; a-a = 2 -> a b wins
+    assert m[1] == ("a", "b", 4)
+    # rewrite: 'a b a b' -> 'ab ab' (both!), 'a a a' -> 'a a a' (no b)
+    # round 2 pairs: ab-ab:2, a-a:2 -> tie broken on string: "a a" < "ab ab"
+    assert m[2] == ("a", "a", 2)
+
+
+def test_bpe_trainer_empty_and_exhausted_corpus(spark):
+    """Single-char vocab has no pairs: trainer returns an empty merge
+    table with the documented schema instead of looping or crashing."""
+    docs = _docs(spark, [(1, "a b c")])
+    out = C.bpe_train_merges(docs, n_merges=3)
+    assert out.count() == 0
+    assert out.columns == ["merge_rank", "lft", "rgt", "cnt"]
