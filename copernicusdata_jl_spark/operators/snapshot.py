@@ -25,10 +25,15 @@ loop are unchanged; only the publish primitive is injected
 (``publish=`` parameter). The container has no Iceberg jar (COVERAGE.md),
 so the local primitive is the tested one.
 
-Scale notes: a manifest holds file PATHS only (KBs per thousand commits);
-reads load exactly the listed files — no directory listing, no eventual-
-consistency window; orphaned data from crashed commits is invisible and
-GC-able by comparing ``data/`` against the latest manifest (``orphans()``).
+Scale notes: a manifest holds file PATHS plus per-file min/max column
+stats (KBs per thousand commits); reads load exactly the listed files —
+no directory listing, no eventual-consistency window — and a predicate
+passed to ``read(where=...)`` skips whole files whose stat range cannot
+match (Iceberg's manifest-level pruning; see ``files_for``). Stats come
+from the parquet footers the commit just wrote (a metadata-only read,
+O(files), never a data scan — the same place Iceberg's writers collect
+them). Orphaned data from crashed commits is invisible and GC-able by
+comparing ``data/`` against the latest manifest (``orphans()``).
 """
 
 from __future__ import annotations
@@ -37,7 +42,75 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: predicate ops accepted by ``read(where=...)`` / ``files_for``
+_OPS = ("==", "<", "<=", ">", ">=")
+
+
+def _footer_stats(path: str) -> tuple[int, dict[str, list]]:
+    """(row_count, {col: [min, max]}) from a parquet footer. Only columns
+    whose every row group carries min/max of a JSON-comparable scalar type
+    (int/float/str/bool) are kept — anything else is simply absent, which
+    the pruner treats as "cannot prune on this column" (always safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).path for i in range(md.num_columns)]
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        for i, name in enumerate(names):
+            if name in dead:
+                continue
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max or not isinstance(
+                st.min, (int, float, str, bool)
+            ):
+                dead.add(name)
+                continue
+            if name not in mins or st.min < mins[name]:
+                mins[name] = st.min
+            if name not in maxs or st.max > maxs[name]:
+                maxs[name] = st.max
+    stats = {n: [mins[n], maxs[n]] for n in mins if n not in dead}
+    return md.num_rows, stats
+
+
+def _may_match(stats: dict[str, list], col: str, op: str, val) -> bool:
+    """Can any row of a file with these column ranges satisfy the
+    predicate? Missing stats → True (never prune blind). NULLs never
+    satisfy a comparison, so min/max of the non-null values is sufficient
+    evidence either way."""
+    if col not in stats:
+        return True
+    lo, hi = stats[col]
+    try:
+        if op == "==":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:  # predicate value not comparable with the stats type
+        return True
+    raise ValueError(f"unknown predicate op {op!r}; use one of {_OPS}")
+
+
+def _residual(where: list[tuple]) -> Column:
+    cond = F.lit(True)
+    for col, op, val in where:
+        c = F.col(col)
+        cond = cond & {
+            "==": c == val, "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val,
+        }[op]
+    return cond
 
 
 class CommitConflict(RuntimeError):
@@ -97,9 +170,14 @@ class SnapshotTable:
         files = sorted(
             f"data/{cid}/{f}" for f in os.listdir(ddir) if f.endswith(".parquet")
         )
+        stats = {}
+        for rel in files:
+            rows, col_stats = _footer_stats(os.path.join(self.path, rel))
+            stats[rel] = {"rows": rows, "stats": col_stats}
         for _ in range(max_retries):
             latest = self.latest_version()
-            parent = self.manifest(latest)["files"] if latest is not None else []
+            parent_doc = self.manifest(latest) if latest is not None else {}
+            parent = parent_doc.get("files", [])
             version = (latest if latest is not None else -1) + 1
             doc = {
                 "version": version,
@@ -107,6 +185,9 @@ class SnapshotTable:
                 "run_id": run_id,
                 "files": parent + files,
                 "added": files,
+                # pre-stats manifests (older table versions) simply lack
+                # entries for their files — the pruner keeps those files
+                "file_stats": {**parent_doc.get("file_stats", {}), **stats},
             }
             tmp = os.path.join(self._mdir(), f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
@@ -120,17 +201,50 @@ class SnapshotTable:
                 continue  # re-read latest, rebase file list, try N+1
         raise CommitConflict(f"gave up after {max_retries} retries at {self.path}")
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+    def files_for(self, version: int | None = None,
+                  where: list[tuple] | None = None) -> list[str]:
+        """The snapshot's file list after manifest-stat pruning: files
+        whose min/max range provably cannot satisfy every ``(col, op,
+        value)`` conjunct are skipped without being opened — Iceberg's
+        manifest-level pruning over the stats ``commit`` recorded."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return []
+        doc = self.manifest(v)
+        files = doc["files"]
+        if not where:
+            return files
+        fstats = doc.get("file_stats", {})
+        return [
+            f for f in files
+            if all(_may_match(fstats.get(f, {}).get("stats", {}), c, op, val)
+                   for c, op, val in where)
+        ]
+
+    def read(self, spark: SparkSession, version: int | None = None,
+             where: list[tuple] | None = None) -> DataFrame | None:
         """Snapshot ``version`` (default latest) as a DataFrame; ``None``
         when the table has no committed snapshot yet. Reads exactly the
-        manifest's files — orphans from crashed commits are invisible."""
+        manifest's files — orphans from crashed commits are invisible.
+
+        ``where`` — optional conjunctive predicates ``[(col, op, value)]``
+        with op in ``== < <= > >=``: files are pruned via manifest stats
+        (``files_for``) and the residual filter is applied to the surviving
+        rows, so the result equals a full scan + filter while touching only
+        the files whose range can match."""
         v = self.latest_version() if version is None else version
         if v is None:
             return None
-        files = self.manifest(v)["files"]
-        if not files:
+        all_files = self.manifest(v)["files"]
+        if not all_files:
             return None
-        return spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+        files = self.files_for(v, where)
+        if not files:
+            # schema-stable empty result: plan over one real file, read no rows
+            df = spark.read.parquet(os.path.join(self.path, all_files[0]))
+            return df.filter(F.lit(False))
+        df = spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+        return df.filter(_residual(where)) if where else df
 
     def orphans(self) -> list[str]:
         """Data directories not referenced by the latest snapshot — debris

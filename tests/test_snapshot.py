@@ -115,6 +115,58 @@ def test_vacuum_keeps_fresh_orphans(spark, tmp_path):
     assert "data/inflight" in t.vacuum(keep_versions=1, min_age_s=0.0)
 
 
+def test_manifest_pruning_skips_files_and_matches_full_scan(spark, tmp_path):
+    """Three commits with disjoint id ranges: a range predicate must prune
+    to the one file that can match, and read(where=...) must equal the
+    full scan + filter exactly."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 100).coalesce(1), "a")
+    t.commit(_df(spark, 100, 200).coalesce(1), "b")
+    t.commit(_df(spark, 200, 300).coalesce(1), "c")
+    all_files = t.files_for()
+    assert len(all_files) == 3
+    kept = t.files_for(where=[("id", ">=", 250)])
+    assert len(kept) == 1 and kept[0] in all_files
+    got = sorted(r.id for r in t.read(spark, where=[("id", ">=", 250)]).collect())
+    want = sorted(r.id for r in t.read(spark).filter("id >= 250").collect())
+    assert got == want == list(range(250, 300))
+    # conjunction prunes to zero files -> schema-stable empty result
+    empty = t.read(spark, where=[("id", ">", 100), ("id", "<", 50)])
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    assert t.files_for(where=[("id", ">", 100), ("id", "<", 50)]) == []
+    # equality inside one file's range keeps exactly that file
+    assert len(t.files_for(where=[("id", "==", 150)])) == 1
+
+
+def test_manifest_pruning_residual_filter_is_exact(spark, tmp_path):
+    """Pruning is file-granular; rows inside a surviving file that fail
+    the predicate are still filtered out (the residual), and string
+    stats prune too."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1, "apple"), (2, "berry")], "id INT, w STRING")
+    df2 = spark.createDataFrame([(3, "melon"), (4, "peach")], "id INT, w STRING")
+    t.commit(df1.coalesce(1), "a")
+    t.commit(df2.coalesce(1), "b")
+    assert len(t.files_for(where=[("w", ">=", "melon")])) == 1
+    rows = t.read(spark, where=[("w", ">=", "melon"), ("id", "==", 4)]).collect()
+    assert [(r.id, r.w) for r in rows] == [(4, "peach")]
+
+
+def test_manifest_pruning_safe_without_stats(spark, tmp_path):
+    """A manifest predating stats collection (file_stats stripped) must
+    never prune — correctness over efficiency."""
+    import json as _json
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 10).coalesce(1), "a")
+    mpath = os.path.join(t._mdir(), "v00000000.json")
+    doc = _json.load(open(mpath))
+    del doc["file_stats"]
+    _json.dump(doc, open(mpath, "w"))
+    assert t.files_for(where=[("id", ">=", 99999)]) == t.files_for()
+    assert t.read(spark, where=[("id", ">=", 99999)]).count() == 0
+
+
 def test_atomic_checkpoint_refuses_mixed_layout(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     df = spark.range(0, 8).selectExpr("id % 2 AS bucket", "id AS cell_id", "id AS x")
