@@ -156,6 +156,25 @@ class SnapshotTable:
         with open(os.path.join(self._mdir(), f"v{version:08d}.json")) as f:
             return json.load(f)
 
+    @staticmethod
+    def _check_evolution(parent_schema: dict[str, str], df: DataFrame, parent_v) -> None:
+        """Additive schema evolution (the Iceberg rule subset that is safe
+        without column IDs): new columns may appear; existing columns must
+        keep their type; drops/renames are refused so a column name can
+        never silently change meaning."""
+        new_fields = {f.name: f.dataType.json() for f in df.schema.fields}
+        for name, typ in parent_schema.items():
+            if name not in new_fields:
+                raise ValueError(
+                    f"schema evolution is additive-only: commit drops column "
+                    f"{name!r} present in snapshot v{parent_v}"
+                )
+            if new_fields[name] != typ:
+                raise ValueError(
+                    f"schema evolution is additive-only: column {name!r} "
+                    f"changes type {typ} -> {new_fields[name]}"
+                )
+
     # -- commit / read -------------------------------------------------------
 
     def commit(self, df: DataFrame, run_id: str, max_retries: int = 10) -> int:
@@ -166,6 +185,12 @@ class SnapshotTable:
         """
         cid = f"{run_id}-{uuid.uuid4().hex[:12]}"
         ddir = os.path.join(self.path, "data", cid)
+        pre = self.latest_version()
+        if pre is not None:
+            # fail additive-only violations BEFORE the (possibly huge) data
+            # write; the publish loop re-validates against whatever parent
+            # it actually rebases onto
+            self._check_evolution(self.manifest(pre).get("schema", {}), df, pre)
         df.write.mode("error").parquet(ddir)
         files = sorted(
             f"data/{cid}/{f}" for f in os.listdir(ddir) if f.endswith(".parquet")
@@ -174,10 +199,13 @@ class SnapshotTable:
         for rel in files:
             rows, col_stats = _footer_stats(os.path.join(self.path, rel))
             stats[rel] = {"rows": rows, "stats": col_stats}
+        new_fields = {f.name: f.dataType.json() for f in df.schema.fields}
         for _ in range(max_retries):
             latest = self.latest_version()
             parent_doc = self.manifest(latest) if latest is not None else {}
             parent = parent_doc.get("files", [])
+            parent_schema = parent_doc.get("schema", {})
+            self._check_evolution(parent_schema, df, latest)
             version = (latest if latest is not None else -1) + 1
             doc = {
                 "version": version,
@@ -188,6 +216,9 @@ class SnapshotTable:
                 # pre-stats manifests (older table versions) simply lack
                 # entries for their files — the pruner keeps those files
                 "file_stats": {**parent_doc.get("file_stats", {}), **stats},
+                # union of parent + new columns: files written before a
+                # column was added surface it as NULL on read
+                "schema": {**parent_schema, **new_fields},
             }
             tmp = os.path.join(self._mdir(), f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
@@ -235,15 +266,28 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         if v is None:
             return None
-        all_files = self.manifest(v)["files"]
+        doc = self.manifest(v)
+        all_files = doc["files"]
         if not all_files:
             return None
+        reader = spark.read
+        if doc.get("schema"):
+            # the snapshot's evolved schema (additive union over its
+            # history): files written before a column was added read it
+            # as NULL — the parquet reader projects a supplied schema by
+            # NAME, no mergeSchema footer sweep needed
+            from pyspark.sql.types import StructField, StructType, _parse_datatype_json_string
+
+            reader = reader.schema(StructType([
+                StructField(n, _parse_datatype_json_string(t), True)
+                for n, t in doc["schema"].items()
+            ]))
         files = self.files_for(v, where)
         if not files:
             # schema-stable empty result: plan over one real file, read no rows
-            df = spark.read.parquet(os.path.join(self.path, all_files[0]))
+            df = reader.parquet(os.path.join(self.path, all_files[0]))
             return df.filter(F.lit(False))
-        df = spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+        df = reader.parquet(*[os.path.join(self.path, f) for f in files])
         return df.filter(_residual(where)) if where else df
 
     def orphans(self) -> list[str]:

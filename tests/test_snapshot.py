@@ -167,6 +167,26 @@ def test_manifest_pruning_safe_without_stats(spark, tmp_path):
     assert t.read(spark, where=[("id", ">=", 99999)]).count() == 0
 
 
+def test_schema_evolution_additive(spark, tmp_path):
+    """Adding a column mid-history: old files read the new column as NULL
+    at the latest snapshot; time travel to the pre-evolution snapshot
+    keeps the old schema; drops and type changes are refused."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3), "a")                                   # (id, v)
+    t.commit(spark.range(3, 5).selectExpr("id", "id * 2 AS v", "id * 10 AS w"), "b")
+    latest = t.read(spark)
+    assert latest.columns == ["id", "v", "w"]
+    rows = {r.id: r.w for r in latest.collect()}
+    assert rows[0] is None and rows[4] == 40  # old files surface NULL w
+    assert t.read(spark, version=0).columns == ["id", "v"]  # time travel
+    # pruning still works across the evolved history
+    assert len(t.files_for(where=[("id", ">=", 3)])) < len(t.files_for())
+    with pytest.raises(ValueError, match="drops column"):
+        t.commit(spark.range(5, 6).selectExpr("id"), "drop-v")
+    with pytest.raises(ValueError, match="changes type"):
+        t.commit(spark.range(5, 6).selectExpr("id", "CAST(id AS STRING) AS v"), "retype")
+
+
 def test_atomic_checkpoint_refuses_mixed_layout(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     df = spark.range(0, 8).selectExpr("id % 2 AS bucket", "id AS cell_id", "id AS x")
