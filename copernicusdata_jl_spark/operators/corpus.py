@@ -409,6 +409,55 @@ def dup_span_islands(
     )
 
 
+def remove_dup_spans(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Lee et al. 2021's removal step applied: delete every token covered
+    by a duplicated span (:func:`dup_span_islands`, optionally only spans
+    ≥ ``min_span_tokens`` — their paper uses 50) and return each document
+    with its residual text: ``(id, clean_text, n_removed)``.
+
+    Scale shape: the islands computation is :func:`dup_span_islands`
+    unchanged; per-doc spans collapse to a small struct array
+    (``collect_list`` bounded by islands-per-doc, not tokens), and the
+    token drop is a JVM higher-order ``filter`` with the position index —
+    the text is rewritten map-side after one (id)-keyed join, never
+    exploded to token rows.
+    """
+    spans = dup_span_islands(corpus, k, id_col, text_col, min_docs)
+    if min_span_tokens is not None:
+        spans = spans.filter(F.col("span_tokens") >= min_span_tokens)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_tokens").alias("n"))
+        ).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.coalesce(
+            F.exists(
+                F.col("_spans"),
+                lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["s"] + sp["n"] - 1),
+            ),
+            F.lit(False),
+        ),
+    )
+    return (
+        corpus.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def bpe_train_merges(
     corpus: DataFrame,
     n_merges: int = 3,

@@ -413,6 +413,47 @@ FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
 """
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Dup-span REMOVAL (operators/corpus.remove_dup_spans): every token
+    covered by a duplicated island is deleted and the residual text kept —
+    Lee et al. 2021's ExactSubstr removal applied, not just detected."""
+    docs = load(spark, sf_dir, "documents")
+    return C.remove_dup_spans(docs, k=_SPAN_K, min_docs=_SPAN_MIN_DOCS).orderBy("doc_id")
+
+
+def _dup_span_removal_sql() -> str:
+    k = _SPAN_K
+    grams = D.word_ngrams_sql("text", k, distinct=False)
+    return f"""
+WITH g AS (SELECT doc_id, {grams} AS gl FROM documents),
+pos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS p, gl[CAST(u.i AS INT)] AS gram
+        FROM g, unnest(range(1, len(gl) + 1)) AS u(i)),
+hot AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY gram) t
+  WHERE nd >= {_SPAN_MIN_DOCS}),
+dp AS (SELECT doc_id, p FROM pos JOIN hot USING (gram)),
+isl AS (SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM dp),
+islands AS (SELECT doc_id, min(p) AS s, max(p) - min(p) + {k} AS n
+            FROM isl GROUP BY doc_id, grp),
+toks AS (SELECT doc_id, CAST(u.i AS BIGINT) AS tp, tl[CAST(u.i AS INT)] AS tok
+         FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents) t,
+              unnest(range(1, len(tl) + 1)) AS u(i)),
+keep AS (SELECT t.* FROM toks t
+         WHERE NOT EXISTS (SELECT 1 FROM islands s
+                           WHERE s.doc_id = t.doc_id
+                             AND t.tp BETWEEN s.s AND s.s + s.n - 1))
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(kp.tok, ' ' ORDER BY kp.tp)
+                 FROM keep kp WHERE kp.doc_id = d.doc_id), '') AS clean_text,
+       CAST(len(string_split(d.text, ' '))
+            - (SELECT count(*) FROM keep kp WHERE kp.doc_id = d.doc_id)
+            AS BIGINT) AS n_removed
+FROM documents d ORDER BY doc_id
+"""
+
+
 _BPE_MERGES = 3
 
 
@@ -511,4 +552,5 @@ LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "corpus_diff": (q_corpus_diff, _corpus_diff_sql()),
     "dup_span_islands": (q_dup_span_islands, _dup_span_islands_sql()),
     "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
+    "dup_span_removal": (q_dup_span_removal, _dup_span_removal_sql()),
 }

@@ -325,6 +325,30 @@ def test_dup_span_islands_splits_on_gap(spark):
     assert isl == [(1, 1, 5), (11, 1, 5)]
 
 
+def test_remove_dup_spans_deletes_covered_tokens(spark):
+    """The shared 8-token prefix is removed from BOTH docs; unique tails
+    survive; n_removed counts deleted tokens."""
+    shared = "a b c d e f g h"
+    docs = _docs(spark, [(1, shared + " x1 y1 z1"), (2, shared + " x2 y2 z2")])
+    rows = {r["doc_id"]: r for r in C.remove_dup_spans(docs, k=5, min_docs=2).collect()}
+    assert rows[1]["clean_text"] == "x1 y1 z1" and rows[1]["n_removed"] == 8
+    assert rows[2]["clean_text"] == "x2 y2 z2" and rows[2]["n_removed"] == 8
+
+
+def test_remove_dup_spans_min_span_threshold_and_untouched_docs(spark):
+    """min_span_tokens filters short islands (text survives intact), and a
+    doc with no duplicated grams is returned unchanged with n_removed=0."""
+    shared = "a b c d e f g h"
+    docs = _docs(
+        spark,
+        [(1, shared + " x1 y1 z1"), (2, shared + " x2 y2 z2"), (3, "totally unique words only here now")],
+    )
+    rows = {r["doc_id"]: r for r in
+            C.remove_dup_spans(docs, k=5, min_docs=2, min_span_tokens=9).collect()}
+    assert rows[1]["n_removed"] == 0 and rows[1]["clean_text"].startswith(shared)
+    assert rows[3]["n_removed"] == 0 and rows[3]["clean_text"] == "totally unique words only here now"
+
+
 # ---------------------------------------------------------------------------
 # bpe_train_merges
 # ---------------------------------------------------------------------------
