@@ -458,6 +458,97 @@ def remove_dup_spans(
     )
 
 
+def bpe_encode(
+    corpus: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a learned BPE merge table
+    (:func:`bpe_train_merges` output): returns
+    ``(id, n_words, n_symbols, encoded)`` where ``encoded`` is the
+    space-joined symbol stream of the whole document (words separated by
+    the word-boundary marker ``|`` so the decode is unambiguous).
+
+    Scale shape — merges apply to the VOCABULARY, never the corpus: the
+    corpus collapses to distinct words (10^7 rows at web scale vs 10^12
+    tokens), each merge rewrites vocab rows with the same greedy leftmost
+    JVM fold the trainer used (training and serving can never disagree),
+    and the encoded vocab broadcast-joins back onto exploded document
+    words. The per-doc reassembly is one (id)-keyed aggregate over
+    (position, symbols) pairs — ``array_join(array_sort(collect_list(
+    struct(pos, syms))))`` — so document text never rides a shuffle key.
+
+    The merge table is collected to the driver (it is the MODEL — k rows,
+    same contract as the IVF centroid matrix) and applied in learned rank
+    order.
+    """
+    ranked = sorted(
+        ((r["merge_rank"], r["lft"], r["rgt"]) for r in merges.collect()),
+        key=lambda t: t[0],
+    )
+    vocab = (
+        corpus.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .select("w", F.array_join(F.split("w", ""), " ").alias("sym"))
+    )
+    for _, lft, rgt in ranked:
+        syms = F.split(F.col("sym"), " ")
+        vocab = vocab.select(
+            "w", _merge_pair_fold(syms, lft, rgt).alias("sym")
+        )
+    words = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    enc = words.join(F.broadcast(vocab), "w")
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda s: s["sym"],
+                ),
+                " | ",
+            ).alias("encoded"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            (F.size(F.split(F.col("encoded"), " ")) - (F.col("n_words") - 1))
+            .cast("long")
+            .alias("n_symbols"),
+            "encoded",
+        )
+    )
+
+
+def _merge_pair_fold(syms: Column, lft: str, rgt: str) -> Column:
+    """Greedy leftmost application of one BPE merge to a symbol list —
+    the shared rewrite kernel of :func:`bpe_train_merges` and
+    :func:`bpe_encode` (string-accumulator ``F.aggregate`` fold; exact on
+    overlapping occurrences like "a b a b" → "ab ab")."""
+    merged = lft + rgt
+
+    def step(acc: Column, x: Column) -> Column:
+        is_merge = (F.regexp_extract(acc, "[^ ]*$", 0) == F.lit(lft)) & (x == F.lit(rgt))
+        head = F.when(acc == F.lit(lft), F.lit("")).otherwise(
+            F.concat(F.regexp_replace(acc, " [^ ]*$", ""), F.lit(" "))
+        )
+        return F.when(is_merge, F.concat(head, F.lit(merged))).otherwise(
+            F.concat(acc, F.lit(" "), x)
+        )
+
+    return F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.element_at(syms, 1),
+        step,
+    )
+
+
 def bpe_train_merges(
     corpus: DataFrame,
     n_merges: int = 3,
@@ -515,30 +606,7 @@ def bpe_train_merges(
                 break
             lft, rgt = top[0]["pair"].split(" ", 1)
             merges.append((rank, lft, rgt, int(top[0]["cnt"])))
-            merged = lft + rgt
-
-            def make_step(lft: str, rgt: str, merged: str):
-                # pyspark's HOF bridge requires a bare (acc, x) signature,
-                # so the merge pair binds via this factory closure
-                def step(acc: Column, x: Column) -> Column:
-                    is_merge = (F.regexp_extract(acc, "[^ ]*$", 0) == F.lit(lft)) & (
-                        x == F.lit(rgt)
-                    )
-                    head = F.when(acc == F.lit(lft), F.lit("")).otherwise(
-                        F.concat(F.regexp_replace(acc, " [^ ]*$", ""), F.lit(" "))
-                    )
-                    return F.when(is_merge, F.concat(head, F.lit(merged))).otherwise(
-                        F.concat(acc, F.lit(" "), x)
-                    )
-
-                return step
-
-            new_sym = F.aggregate(
-                F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-                F.element_at(syms, 1),
-                make_step(lft, rgt, merged),
-            )
-            nxt = prev.select(new_sym.alias("sym"), "wc").persist()
+            nxt = prev.select(_merge_pair_fold(syms, lft, rgt).alias("sym"), "wc").persist()
             prev.unpersist()
             prev = nxt
     finally:

@@ -500,6 +500,58 @@ def _bpe_merges_sql() -> str:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ BPE encode (operators/corpus.bpe_encode): apply the 3 learned
+    merges to the corpus — vocab-side rewrite with the trainer's own fold,
+    broadcast join back, per-doc reassembly by position. Train → encode,
+    end to end."""
+    docs = load(spark, sf_dir, "documents")
+    merges = C.bpe_train_merges(docs, n_merges=_BPE_MERGES)
+    return C.bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def _bpe_encode_sql() -> str:
+    """The trainer's chained-CTE twin extended through ALL merge rewrites
+    (keyed by the original word) + positional document reassembly."""
+    rewrite = """list_reduce(string_split(sym, ' '), (acc, x) -> CASE
+    WHEN regexp_extract(acc, '[^ ]*$') = lft AND x = rgt
+    THEN CASE WHEN acc = lft THEN '' ELSE regexp_replace(acc, ' [^ ]*$', '') || ' ' END
+         || lft || rgt
+    ELSE acc || ' ' || x END) AS sym"""
+    ctes = [
+        """tw AS (SELECT tok AS w, count(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+  WHERE tok <> '' GROUP BY tok)""",
+        "v0 AS (SELECT w, array_to_string(string_split(w, ''), ' ') AS sym, wc FROM tw)",
+    ]
+    for r in range(1, _BPE_MERGES + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair, wc
+  FROM (SELECT string_split(sym, ' ') AS l, wc FROM v{r - 1}) t)""")
+        ctes.append(f"""m{r} AS (
+  SELECT split_part(pair, ' ', 1) AS lft, split_part(pair, ' ', 2) AS rgt
+  FROM (SELECT pair, sum(wc) AS cnt FROM p{r} GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT 1) t)""")
+        ctes.append(f"v{r} AS (SELECT w, {rewrite}, wc FROM v{r - 1} CROSS JOIN m{r})")
+    ctes.append("""docw AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, tl[CAST(u.i AS INT)] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents) t,
+       unnest(range(1, len(tl) + 1)) AS u(i)
+  WHERE tl[CAST(u.i AS INT)] <> '')""")
+    ctes.append(f"""enc AS (
+  SELECT d.doc_id, count(*) AS n_words, string_agg(v.sym, ' | ' ORDER BY d.pos) AS encoded
+  FROM docw d JOIN v{_BPE_MERGES} v USING (w) GROUP BY d.doc_id)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(len(string_split(encoded, ' ')) - (n_words - 1) AS BIGINT) AS n_symbols,
+       encoded
+FROM enc ORDER BY doc_id
+"""
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """☆ Corpus version diff by content digest: v2 simulated
     deterministically (doc_id % 7 == 0 removed, % 11 == 0 edited); full
@@ -553,4 +605,5 @@ LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dup_span_islands": (q_dup_span_islands, _dup_span_islands_sql()),
     "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
     "dup_span_removal": (q_dup_span_removal, _dup_span_removal_sql()),
+    "bpe_encode": (q_bpe_encode, _bpe_encode_sql()),
 }

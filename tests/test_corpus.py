@@ -381,6 +381,24 @@ def test_bpe_merge_rewrite_handles_overlapping_occurrences(spark):
     assert m[2] == ("a", "a", 2)
 
 
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    """Hand-traced encode on the Sennrich fixture: merge 1 = (l,o) gives
+    'lo w' / 'lo w e r'; merge 2 = (lo,w) fuses them to 'low' / 'low e r';
+    word boundaries are '|'-separated."""
+    docs = _docs(spark, [(1, "low low lower")])
+    merges = C.bpe_train_merges(docs, n_merges=2)
+    row = C.bpe_encode(docs, merges).collect()[0]
+    assert row["encoded"] == "low | low | low e r"
+    assert row["n_words"] == 3 and row["n_symbols"] == 1 + 1 + 3
+
+
+def test_bpe_encode_no_merges_is_char_stream(spark):
+    docs = _docs(spark, [(1, "ab ba")])
+    empty = C.bpe_train_merges(docs, n_merges=0)
+    row = C.bpe_encode(docs, empty).collect()[0]
+    assert row["encoded"] == "a b | b a" and row["n_symbols"] == 4
+
+
 def test_bpe_trainer_empty_and_exhausted_corpus(spark):
     """Single-char vocab has no pairs: trainer returns an empty merge
     table with the documented schema instead of looping or crashing."""
