@@ -68,6 +68,11 @@ HEADLINE = [
     "zscore_outliers",
     "bpe_pairs",
     "corpus_diff",
+    # round-4 additions (bpe_merges/bpe_encode stay out like
+    # neardup_components: the trainer's per-merge argmax collect is
+    # job-scheduling-bound at toy scale)
+    "dup_span_islands",
+    "dup_span_removal",
 ]
 
 
