@@ -143,9 +143,9 @@ spark.stop()
 """
 
 
-def _run(snippet: str) -> dict | None:
+def _run(snippet: str, timeout: int = 1800) -> dict | None:
     out = subprocess.run(
-        [sys.executable, "-c", snippet], capture_output=True, text=True, timeout=1800
+        [sys.executable, "-c", snippet], capture_output=True, text=True, timeout=timeout
     )
     for line in out.stdout.splitlines():
         if line.startswith("METRICS "):
@@ -168,7 +168,7 @@ def main() -> None:
     if not os.path.isdir(location):
         gen = subprocess.run(
             [sys.executable, "-c", GEN_SNIPPET.format(repo=REPO, n=n, wh=wh, buckets=BUCKETS)],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=max(1800, n // 1500),
         )
         if gen.returncode != 0:
             sys.stderr.write(gen.stderr[-2000:])
@@ -183,8 +183,11 @@ def main() -> None:
         for j, cpus in enumerate(order):
             if j:
                 time.sleep(15)
+            # 4 timed+warmup passes; budget scales with input so an
+            # 8M-page local[8] config doesn't hit the 30-min default
             m = _run(RUN_SNIPPET.format(
-                repo=REPO, cpus=cpus, location=location, buckets=BUCKETS))
+                repo=REPO, cpus=cpus, location=location, buckets=BUCKETS),
+                timeout=max(1800, n // 1200))
             if m is not None:
                 all_runs[cpus].append(m)
                 trial[cpus] = m
