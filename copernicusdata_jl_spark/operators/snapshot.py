@@ -290,6 +290,46 @@ class SnapshotTable:
         df = reader.parquet(*[os.path.join(self.path, f) for f in files])
         return df.filter(_residual(where)) if where else df
 
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: one row per snapshot with its run_id,
+        parent, and file/row counts — Iceberg's snapshot-history metadata
+        table, driver-side (manifests are KBs)."""
+        out = []
+        for v in self.versions():
+            doc = self.manifest(v)
+            fstats = doc.get("file_stats", {})
+            out.append({
+                "version": v,
+                "parent": doc.get("parent"),
+                "run_id": doc.get("run_id"),
+                "n_files": len(doc.get("files", [])),
+                "added_files": len(doc.get("added", [])),
+                "added_rows": sum(
+                    fstats[f]["rows"] for f in doc.get("added", []) if f in fstats
+                ),
+            })
+        return out
+
+    def read_added(self, spark: SparkSession, version: int) -> DataFrame | None:
+        """Incremental read: ONLY the rows snapshot ``version`` appended —
+        Iceberg's incremental-scan property, the consumption side of the
+        checkpoint protocol (a downstream job processes each commit exactly
+        once by walking versions). Reads just the commit's own data files;
+        ``None`` when the commit added nothing."""
+        doc = self.manifest(version)
+        added = doc.get("added", [])
+        if not added:
+            return None
+        reader = spark.read
+        if doc.get("schema"):
+            from pyspark.sql.types import StructField, StructType, _parse_datatype_json_string
+
+            reader = reader.schema(StructType([
+                StructField(n, _parse_datatype_json_string(t), True)
+                for n, t in doc["schema"].items()
+            ]))
+        return reader.parquet(*[os.path.join(self.path, f) for f in added])
+
     def orphans(self) -> list[str]:
         """Data directories not referenced by the latest snapshot — debris
         from crashed commits, safe to GC."""

@@ -114,6 +114,29 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ CCNet head/middle/tail split (operators/corpus.ccnet_buckets,
+    Wenzek et al. 2020 §4.4): exact equal-frequency bands over the
+    unigram-LM score — ntile over (rounded score desc, doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.ccnet_buckets(docs).orderBy("doc_id")
+
+
+def _ccnet_buckets_sql() -> str:
+    return """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+s AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM s),
+lp AS (SELECT tok, ln((cnt + 1.0) / (total + vocab)) AS logp FROM s, tot),
+sc AS (SELECT doc_id, count(*) AS n_tokens,
+              round(avg(coalesce(logp, ln(1.0 / (total + vocab)))), 4) AS avg_logp
+       FROM t CROSS JOIN tot LEFT JOIN lp USING (tok) GROUP BY doc_id)
+SELECT doc_id, n_tokens, avg_logp,
+       (['head', 'middle', 'tail'])[ntile(3) OVER (ORDER BY avg_logp DESC, doc_id)] AS bucket
+FROM sc ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # host frequency cap
 # ---------------------------------------------------------------------------
@@ -606,4 +629,5 @@ LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
     "dup_span_removal": (q_dup_span_removal, _dup_span_removal_sql()),
     "bpe_encode": (q_bpe_encode, _bpe_encode_sql()),
+    "ccnet_buckets": (q_ccnet_buckets, _ccnet_buckets_sql()),
 }

@@ -292,6 +292,15 @@ def test_dup_span_stats_hashed_flavor_matches_string(spark):
     assert a == b
 
 
+def test_ccnet_buckets_rank_by_lm_score(spark):
+    """Docs made of frequent tokens land in head, rare-token docs in tail;
+    each tercile gets one doc on a 3-doc corpus."""
+    common = "the the the the the the"
+    docs = _docs(spark, [(1, common), (2, common + " rare1"), (3, "zz yy xx ww vv uu")])
+    rows = {r["doc_id"]: r["bucket"] for r in C.ccnet_buckets(docs).collect()}
+    assert rows == {1: "head", 2: "middle", 3: "tail"}
+
+
 # ---------------------------------------------------------------------------
 # dup_span_islands
 # ---------------------------------------------------------------------------

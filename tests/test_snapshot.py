@@ -167,6 +167,23 @@ def test_manifest_pruning_safe_without_stats(spark, tmp_path):
     assert t.read(spark, where=[("id", ">=", 99999)]).count() == 0
 
 
+def test_history_and_incremental_read(spark, tmp_path):
+    """history() walks the commit log with added-row counts; read_added
+    yields exactly one commit's rows (the incremental-scan property a
+    downstream consumer uses to process each commit once)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3), "a")
+    t.commit(_df(spark, 3, 7), "b")
+    h = t.history()
+    assert [(x["version"], x["run_id"], x["added_rows"]) for x in h] == [
+        (0, "a", 3), (1, "b", 4),
+    ]
+    assert h[1]["parent"] == 0 and h[1]["n_files"] > h[1]["added_files"] - 1
+    inc = t.read_added(spark, 1)
+    assert sorted(r.id for r in inc.collect()) == [3, 4, 5, 6]
+    assert sorted(r.id for r in t.read_added(spark, 0).collect()) == [0, 1, 2]
+
+
 def test_schema_evolution_additive(spark, tmp_path):
     """Adding a column mid-history: old files read the new column as NULL
     at the latest snapshot; time travel to the pre-evolution snapshot
