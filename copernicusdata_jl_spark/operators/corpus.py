@@ -468,9 +468,8 @@ def remove_dup_spans(
             F.struct(F.col("span_start").alias("s"), F.col("span_tokens").alias("n"))
         ).alias("_spans")
     )
-    toks = F.split(F.col(text_col), " ")
     kept = F.filter(
-        toks,
+        F.col("_toks"),
         lambda tok, i: ~F.coalesce(
             F.exists(
                 F.col("_spans"),
@@ -479,12 +478,18 @@ def remove_dup_spans(
             F.lit(False),
         ),
     )
+    # materialize the lambda-bearing filter ONCE: Spark's common-
+    # subexpression elimination skips higher-order functions (SPARK-35410),
+    # so referencing `kept` from two output columns would run the
+    # tokens × spans scan twice per document
     return (
         corpus.join(per_doc, id_col, "left")
+        .withColumn("_toks", F.split(F.col(text_col), " "))
+        .withColumn("_kept", kept)
         .select(
             id_col,
-            F.array_join(kept, " ").alias("clean_text"),
-            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(F.col("_kept"), " ").alias("clean_text"),
+            (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
         )
     )
 

@@ -343,13 +343,15 @@ def _knn_kring_driver_state(
 
         if not finals:
             # explicit state="driver" with an empty query set: mirror the
-            # dataframe path's empty-result contract instead of IndexError
+            # dataframe path's empty-result contract instead of IndexError —
+            # including the id COLUMN TYPES, which follow the inputs (a
+            # hardcoded LongType would break unionByName with non-long ids)
             return spark.createDataFrame(
                 [],
                 T.StructType(
                     [
-                        T.StructField(query_id_col, T.LongType()),
-                        T.StructField(point_id_col, T.LongType()),
+                        T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+                        T.StructField(point_id_col, points.schema[point_id_col].dataType),
                         T.StructField("rank", T.IntegerType()),
                         T.StructField("dist_m", T.DoubleType()),
                     ]

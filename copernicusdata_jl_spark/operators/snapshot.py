@@ -103,6 +103,15 @@ def _may_match(stats: dict[str, list], col: str, op: str, val) -> bool:
     raise ValueError(f"unknown predicate op {op!r}; use one of {_OPS}")
 
 
+def _validate_where(where: list[tuple] | None) -> None:
+    """Reject unknown ops up front — never inside the per-file loop, where
+    a stats-less column would silently skip the check, and never as a raw
+    KeyError from the residual-filter dict."""
+    for _, op, _ in where or []:
+        if op not in _OPS:
+            raise ValueError(f"unknown predicate op {op!r}; use one of {_OPS}")
+
+
 def _residual(where: list[tuple]) -> Column:
     cond = F.lit(True)
     for col, op, val in where:
@@ -216,10 +225,15 @@ class SnapshotTable:
                 # pre-stats manifests (older table versions) simply lack
                 # entries for their files — the pruner keeps those files
                 "file_stats": {**parent_doc.get("file_stats", {}), **stats},
-                # union of parent + new columns: files written before a
-                # column was added surface it as NULL on read
-                "schema": {**parent_schema, **new_fields},
             }
+            # union of parent + new columns: files written before a column
+            # was added surface it as NULL on read. A LEGACY parent (no
+            # recorded schema) stays schema-less: its historical files'
+            # columns are unknown here, and recording only the new commit's
+            # columns would make read()'s schema projection silently hide
+            # the old files' extra columns
+            if latest is None or "schema" in parent_doc:
+                doc["schema"] = {**parent_schema, **new_fields}
             tmp = os.path.join(self._mdir(), f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
                 json.dump(doc, f)
@@ -238,6 +252,7 @@ class SnapshotTable:
         whose min/max range provably cannot satisfy every ``(col, op,
         value)`` conjunct are skipped without being opened — Iceberg's
         manifest-level pruning over the stats ``commit`` recorded."""
+        _validate_where(where)
         v = self.latest_version() if version is None else version
         if v is None:
             return []
@@ -282,6 +297,12 @@ class SnapshotTable:
                 StructField(n, _parse_datatype_json_string(t), True)
                 for n, t in doc["schema"].items()
             ]))
+        else:
+            # legacy table (manifest predates schema recording): the files'
+            # union schema is unknown, so pay the footer sweep rather than
+            # letting Spark sample one file and silently drop the columns
+            # the others carry
+            reader = reader.option("mergeSchema", "true")
         files = self.files_for(v, where)
         if not files:
             # schema-stable empty result: plan over one real file, read no rows

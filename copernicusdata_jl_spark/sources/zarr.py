@@ -332,8 +332,11 @@ class _S3Store(_Store):
             # assembler turns None into fill_value); transient S3 faults
             # (throttle, auth, network) must fail the read, not silently
             # materialize fill data.
+            # NoSuchBucket is deliberately NOT here: a missing bucket is a
+            # configuration fault affecting every key — mapping it to
+            # fill_value would silently materialize a whole array of fill.
             code = getattr(exc, "response", {}).get("Error", {}).get("Code", "")
-            if code in ("NoSuchKey", "404", "NoSuchBucket"):
+            if code in ("NoSuchKey", "404"):
                 return None
             raise
 

@@ -51,8 +51,16 @@ META_COLS = ["url", "host", "_ord", "text_sha256", "n_tokens", "rep_ratio", "con
 
 def host_expr(url: Column) -> Column:
     """Registrable host of a crawl url (lowercased authority, port kept —
-    the C4/CCNet cap unit is the host string as crawled)."""
-    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    the C4/CCNet cap unit is the host string as crawled). Userinfo is
+    stripped so ``a@spam.farm`` / ``b@spam.farm`` cannot mint fresh cap
+    slots per userinfo variant; a schemeless url falls back to its leading
+    authority-ish segment rather than collapsing every such page into one
+    shared '' host."""
+    with_scheme = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    auth = F.when(with_scheme != "", with_scheme).otherwise(
+        F.regexp_extract(url, r"^([^/?#]*)", 1)
+    )
+    return F.lower(F.regexp_replace(auth, r"^[^/?#@]*@", ""))
 
 
 def hygiene_meta(

@@ -152,6 +152,32 @@ def test_manifest_pruning_residual_filter_is_exact(spark, tmp_path):
     assert [(r.id, r.w) for r in rows] == [(4, "peach")]
 
 
+def test_legacy_manifest_commit_never_narrows_columns(spark, tmp_path):
+    """A table whose manifests predate schema recording: a commit with
+    FEWER columns must not cause read() to hide the historical files'
+    extra columns (the evolved-schema projection stays off for legacy
+    lineages; mergeSchema unions the footers instead)."""
+    import json as _json
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3), "a")  # (id, v)
+    mpath = os.path.join(t._mdir(), "v00000000.json")
+    doc = _json.load(open(mpath))
+    del doc["schema"]
+    _json.dump(doc, open(mpath, "w"))
+    t.commit(spark.range(3, 5).selectExpr("id"), "narrow")
+    got = t.read(spark)
+    assert set(got.columns) == {"id", "v"}
+    rows = {r.id: r.v for r in got.collect()}
+    assert rows[0] == 0 and rows[3] is None
+    assert "schema" not in t.manifest(1)  # legacy lineage stays legacy
+    # invalid predicate op fails loudly everywhere, stats or not
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        t.files_for(where=[("id", "=", 1)])
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        t.read(spark, where=[("id", "=", 1)])
+
+
 def test_manifest_pruning_safe_without_stats(spark, tmp_path):
     """A manifest predating stats collection (file_stats stripped) must
     never prune — correctness over efficiency."""

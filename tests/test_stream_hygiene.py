@@ -36,6 +36,22 @@ def _benchmark(spark, src):
     )
 
 
+def test_host_expr_strips_userinfo_and_handles_schemeless(spark):
+    from copernicusdata_jl_spark.streaming.hygiene import host_expr
+
+    df = spark.createDataFrame(
+        [
+            ("https://Host9.Example:443/p/1",),
+            ("http://alice@spam.farm/p1",),
+            ("http://bob@spam.farm/p2",),
+            ("spam.farm/p3",),
+        ],
+        "url string",
+    )
+    hosts = [r[0] for r in df.select(host_expr(F.col("url"))).collect()]
+    assert hosts == ["host9.example:443", "spam.farm", "spam.farm", "spam.farm"]
+
+
 def test_stream_hygiene_matches_batch_front_half(spark, tmp_path):
     src, schema, _ = _write_sliced_pages(spark, tmp_path, n_pages=200, n_slices=3)
     bench = _benchmark(spark, src)

@@ -51,7 +51,9 @@ print("RESULT " + json.dumps(out))
 
 def run_trial(order: list[str], cpus: int, sf_dir: str) -> dict[str, list[float]]:
     code = SNIPPET.format(repo=REPO, cpus=cpus, parts=4 * cpus, order=order, sf_dir=sf_dir)
-    p = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+    )
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
