@@ -397,6 +397,7 @@ def dup_span_islands(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    hashed: bool = False,
 ) -> DataFrame:
     """Contiguous duplicated spans per document — Lee et al. 2021's actual
     removal unit, built from the same positional k-gram multiplicity as
@@ -414,11 +415,18 @@ def dup_span_islands(
     the document id — the text and grams never reach it. The classic
     ``pos - row_number()`` grouping key turns each maximal run into one
     group so the whole merge is a single window + aggregate, no iteration.
+    ``hashed=True`` is the 100 TB flavor (same as :func:`dup_span_stats`):
+    gram keys become 64-bit ``xxhash64`` so the multiplicity aggregate and
+    the join back shuffle 8-byte longs instead of gram strings — identical
+    output (position-set parity pinned in tests; the string key is what
+    keeps the DuckDB oracle exact).
     """
     pos = corpus.select(
         F.col(id_col),
         F.posexplode(word_ngrams_expr(F.col(text_col), k, distinct=False)).alias("_p0", "gram"),
     ).select(id_col, (F.col("_p0") + 1).alias("p"), "gram")
+    if hashed:
+        pos = pos.withColumn("gram", F.xxhash64("gram"))
     hot = (
         pos.select(id_col, "gram").distinct()
         .groupBy("gram")
