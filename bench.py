@@ -73,6 +73,8 @@ HEADLINE = [
     # job-scheduling-bound at toy scale)
     "dup_span_islands",
     "dup_span_removal",
+    "ccnet_buckets",
+    "blocklist_filter",
 ]
 
 

@@ -448,6 +448,39 @@ def dup_span_islands(
     )
 
 
+def blocklist_filter(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    invert: bool = False,
+) -> DataFrame:
+    """Drop documents whose host is a blocklisted domain OR any subdomain
+    of one (suffix match on label boundaries) — the UT1/C4-style domain
+    blocklist stage. ``blocklist`` has a ``domain`` column;
+    ``invert=True`` returns the blocked rows instead (audit mode).
+
+    Scale shape: each host expands map-side into its O(labels) dot-suffix
+    chain (``a.b.spam.farm`` → 4 suffixes) and joins the BROADCAST
+    blocklist on exact string equality — never a LIKE per blocklist row,
+    never a cartesian regex scan; the only shuffle is the distinct id set
+    of hits feeding one anti join.
+    """
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    hits = (
+        corpus.select(id_col, F.explode(sufs).alias("_suf"))
+        .join(F.broadcast(blocklist.select(F.col("domain").alias("_suf"))), "_suf")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(hits, id_col, "left_semi" if invert else "left_anti")
+
+
 def remove_dup_spans(
     corpus: DataFrame,
     k: int = 5,
@@ -455,11 +488,13 @@ def remove_dup_spans(
     text_col: str = "text",
     min_docs: int = 2,
     min_span_tokens: int | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Lee et al. 2021's removal step applied: delete every token covered
     by a duplicated span (:func:`dup_span_islands`, optionally only spans
-    ≥ ``min_span_tokens`` — their paper uses 50) and return each document
-    with its residual text: ``(id, clean_text, n_removed)``.
+    ≥ ``min_span_tokens`` — their paper uses 50; ``hashed=True`` selects
+    the islands' 8-byte-gram-key flavor for the 100 TB shuffle) and return
+    each document with its residual text: ``(id, clean_text, n_removed)``.
 
     Scale shape: the islands computation is :func:`dup_span_islands`
     unchanged; per-doc spans collapse to a small struct array
@@ -468,7 +503,7 @@ def remove_dup_spans(
     the text is rewritten map-side after one (id)-keyed join, never
     exploded to token rows.
     """
-    spans = dup_span_islands(corpus, k, id_col, text_col, min_docs)
+    spans = dup_span_islands(corpus, k, id_col, text_col, min_docs, hashed=hashed)
     if min_span_tokens is not None:
         spans = spans.filter(F.col("span_tokens") >= min_span_tokens)
     per_doc = spans.groupBy(id_col).agg(

@@ -114,6 +114,53 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+_BLOCKED = ("spam.farm", "tracker.net")
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Domain blocklist (operators/corpus.blocklist_filter, UT1/C4
+    style): hosts synthesized deterministically from doc_id; documents on
+    a blocked domain or any subdomain of one are dropped. The Spark plan
+    explodes dot-suffixes map-side against the broadcast blocklist; the
+    oracle states the same semantics as a LIKE."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "host",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("spam.farm"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("sub"), (F.col("doc_id") % 7).cast("string"), F.lit(".spam.farm")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("host"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.com")),
+        )
+        .otherwise(F.lit("ads.tracker.net")),
+    )
+    bl = spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
+    return (
+        C.blocklist_filter(docs, bl, host_col="host")
+        .select("doc_id", "host")
+        .orderBy("doc_id")
+    )
+
+
+def _blocklist_filter_sql() -> str:
+    vals = ", ".join(f"('{d}')" for d in _BLOCKED)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'spam.farm'
+              WHEN doc_id % 4 = 1 THEN 'sub' || CAST(doc_id % 7 AS VARCHAR) || '.spam.farm'
+              WHEN doc_id % 4 = 2 THEN 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+              ELSE 'ads.tracker.net' END AS host
+  FROM documents),
+b(domain) AS (VALUES {vals})
+SELECT doc_id, host FROM d
+WHERE NOT EXISTS (SELECT 1 FROM b WHERE d.host = b.domain OR d.host LIKE '%.' || b.domain)
+ORDER BY doc_id
+"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """☆ CCNet head/middle/tail split (operators/corpus.ccnet_buckets,
     Wenzek et al. 2020 §4.4): exact equal-frequency bands over the
@@ -630,4 +677,5 @@ LLM_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dup_span_removal": (q_dup_span_removal, _dup_span_removal_sql()),
     "bpe_encode": (q_bpe_encode, _bpe_encode_sql()),
     "ccnet_buckets": (q_ccnet_buckets, _ccnet_buckets_sql()),
+    "blocklist_filter": (q_blocklist_filter, _blocklist_filter_sql()),
 }

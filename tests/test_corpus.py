@@ -292,6 +292,27 @@ def test_dup_span_stats_hashed_flavor_matches_string(spark):
     assert a == b
 
 
+def test_blocklist_filter_suffix_semantics(spark):
+    """Exact domain and subdomains are blocked; lookalike hosts that only
+    END with the domain string (no dot boundary) survive; invert=True
+    returns the blocked set."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam.farm"),
+            (2, "a.b.spam.farm"),
+            (3, "notspam.farm"),        # no dot boundary -> kept
+            (4, "clean.example.com"),
+            (5, "farm"),                # bare TLD-ish, not listed -> kept
+        ],
+        "doc_id long, host string",
+    )
+    bl = spark.createDataFrame([("spam.farm",)], "domain string")
+    kept = sorted(r.doc_id for r in C.blocklist_filter(docs, bl).collect())
+    assert kept == [3, 4, 5]
+    blocked = sorted(r.doc_id for r in C.blocklist_filter(docs, bl, invert=True).collect())
+    assert blocked == [1, 2]
+
+
 def test_ccnet_buckets_rank_by_lm_score(spark):
     """Docs made of frequent tokens land in head, rare-token docs in tail;
     each tercile gets one doc on a 3-doc corpus."""
