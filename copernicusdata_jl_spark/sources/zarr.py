@@ -609,12 +609,84 @@ def _v3_fill_value(fill, dtype: np.dtype):
     return fill
 
 
+def _v3_bb_decode(raw: bytes, c: dict) -> bytes:
+    """Invert one v3 bytes→bytes codec."""
+    n = c.get("name")
+    if n == "gzip":
+        return gzip.decompress(raw)
+    if n == "zlib":
+        return zlib.decompress(raw)
+    if n == "blosc":
+        return blosc_decompress(raw)  # shuffle mode is in the frame header
+    if n == "crc32c":
+        body, stored = raw[:-4], struct.unpack("<I", raw[-4:])[0]
+        got = crc32c(body)
+        if got != stored:
+            raise ValueError(f"crc32c mismatch: stored {stored:#010x}, computed {got:#010x}")
+        return body
+    raise NotImplementedError(f"zarr v3 codec {n!r} not supported")
+
+
+_SHARD_HOLE = (1 << 64) - 1  # spec sentinel: inner chunk absent
+
+
+def _v3_decode_shard(
+    raw: bytes, cfg: dict, dtype: np.dtype, shard_shape: tuple, fill
+) -> np.ndarray:
+    """Decode one ``sharding_indexed`` shard (Zarr v3 sharding codec): the
+    stored object is [inner chunks...][index] (or index-first when
+    ``index_location: start``); the index is a uint64 (grid..., 2) array
+    of (offset, nbytes) pairs run through ``index_codecs`` (typically
+    bytes + crc32c), with 2^64-1 marking an absent inner chunk → fill.
+    Each present inner chunk decodes through the inner ``codecs``
+    pipeline. Spec: https://zarr-specs.readthedocs.io (sharding codec v1).
+    """
+    import itertools
+
+    inner = tuple(cfg["chunk_shape"])
+    if len(inner) != len(shard_shape) or any(
+        s % i for s, i in zip(shard_shape, inner)
+    ):
+        raise ValueError(
+            f"sharding chunk_shape {inner} does not divide shard shape {shard_shape}"
+        )
+    inner_codecs = cfg.get("codecs") or [{"name": "bytes"}]
+    index_codecs = cfg.get("index_codecs") or [{"name": "bytes"}, {"name": "crc32c"}]
+    for c in index_codecs:
+        if c.get("name") not in ("bytes", "crc32c"):
+            raise NotImplementedError(
+                f"sharding index codec {c.get('name')!r} not supported "
+                "(index size would be unknowable without decoding)"
+            )
+    grid = tuple(s // i for s, i in zip(shard_shape, inner))
+    n = int(np.prod(grid)) if grid else 1
+    idx_nbytes = n * 16 + (
+        4 if any(c.get("name") == "crc32c" for c in index_codecs) else 0
+    )
+    loc = cfg.get("index_location", "end")
+    idx_raw = raw[:idx_nbytes] if loc == "start" else raw[len(raw) - idx_nbytes:]
+    index = _v3_decode_chunk(idx_raw, index_codecs, np.dtype("u8"), grid + (2,))
+    out = (
+        np.zeros(shard_shape, dtype=dtype)
+        if fill is None
+        else np.full(shard_shape, dtype.type(fill), dtype=dtype)
+    )
+    for j in itertools.product(*[range(g) for g in grid]):
+        off, nb = int(index[j + (0,)]), int(index[j + (1,)])
+        if off == _SHARD_HOLE:
+            continue
+        block = _v3_decode_chunk(raw[off:off + nb], inner_codecs, dtype, inner)
+        sel = tuple(slice(a * c, (a + 1) * c) for a, c in zip(j, inner))
+        out[sel] = block
+    return out
+
+
 def _v3_decode_chunk(raw: bytes, codecs: list[dict], dtype: np.dtype, chunks: tuple) -> np.ndarray:
     """Run the codec pipeline backwards: bytes→bytes codecs in reverse
     order, the mandatory ``bytes`` (array↔bytes) codec fixes endianness,
     then array→array ``transpose`` codecs are inverted (their composed
-    permutation is undone in one ``np.transpose``). Sharding is rejected
-    loudly."""
+    permutation is undone in one ``np.transpose``). ``sharding_indexed``
+    is handled one level up (:func:`_v3_decode_shard`)."""
     names = [c.get("name") for c in codecs]
     if "bytes" not in names:
         raise NotImplementedError("zarr v3 codec pipeline lacks the 'bytes' codec")
@@ -628,23 +700,7 @@ def _v3_decode_chunk(raw: bytes, codecs: list[dict], dtype: np.dtype, chunks: tu
         order = (c.get("configuration") or {}).get("order") or list(range(len(chunks)))
         perm = [perm[i] for i in order]
     for c in reversed(codecs[bi + 1 :]):
-        n = c.get("name")
-        if n == "gzip":
-            raw = gzip.decompress(raw)
-        elif n == "zlib":
-            raw = zlib.decompress(raw)
-        elif n == "blosc":
-            raw = blosc_decompress(raw)  # shuffle mode is in the frame header
-        elif n == "crc32c":
-            body, stored = raw[:-4], struct.unpack("<I", raw[-4:])[0]
-            got = crc32c(body)
-            if got != stored:
-                raise ValueError(
-                    f"crc32c mismatch: stored {stored:#010x}, computed {got:#010x}"
-                )
-            raw = body
-        else:
-            raise NotImplementedError(f"zarr v3 codec {n!r} not supported")
+        raw = _v3_bb_decode(raw, c)
     endian = (codecs[bi].get("configuration") or {}).get("endian", "little")
     dt = dtype.newbyteorder("<" if endian == "little" else ">")
     stored_shape = tuple(chunks[i] for i in perm)
@@ -691,6 +747,14 @@ def read_zarr_array_v3(store: _Store, key: str, meta: dict) -> tuple[np.ndarray,
         return arr, attrs
     import itertools
 
+    codecs = meta.get("codecs") or []
+    shard_i = next(
+        (i for i, c in enumerate(codecs) if c.get("name") == "sharding_indexed"), None
+    )
+    if shard_i is not None and shard_i != 0:
+        raise NotImplementedError(
+            "array->array codecs before sharding_indexed are not supported"
+        )
     grid = [range((s + c - 1) // c) for s, c in zip(shape, chunks)]
     for idx in itertools.product(*grid):
         if v2_keys:
@@ -700,7 +764,15 @@ def read_zarr_array_v3(store: _Store, key: str, meta: dict) -> tuple[np.ndarray,
         raw = store.read(f"{key}/{ckey}" if key else ckey)
         if raw is None:
             continue  # hole -> fill_value
-        block = _v3_decode_chunk(raw, meta.get("codecs") or [], dtype, chunks)
+        if shard_i is not None:
+            # bytes->bytes codecs AFTER sharding apply to the whole shard
+            for c in reversed(codecs[1:]):
+                raw = _v3_bb_decode(raw, c)
+            block = _v3_decode_shard(
+                raw, codecs[0].get("configuration") or {}, dtype, chunks, fill
+            )
+        else:
+            block = _v3_decode_chunk(raw, codecs, dtype, chunks)
         sel = tuple(
             slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
         )
@@ -911,15 +983,45 @@ def write_zarr_array_v3(
     attrs: dict | None = None,
     fill_value=0,
     dims: list[str] | None = None,
+    shards: tuple[int, ...] | None = None,
 ) -> None:
     """Write one Zarr v3 array (``bytes`` little-endian + gzip codec
     pipeline, default ``c/``-separated chunk keys) — spec-compliant for
-    any v3 implementation; used for round-trip tests and fixtures."""
+    any v3 implementation; used for round-trip tests and fixtures.
+
+    ``shards``: when given, write the ``sharding_indexed`` layout — the
+    store grid is ``shards``-sized objects each packing ``chunks``-sized
+    inner chunks (bytes+gzip) plus a (bytes+crc32c) uint64 offset/nbytes
+    index at the end. The object-store-friendly v3 layout: inner-chunk
+    random access with O(shard) keys instead of O(chunk)."""
     import itertools
 
     if arr.dtype.name not in _V3_DTYPES:
         raise NotImplementedError(f"dtype {arr.dtype} has no v3 data_type name")
     chunks = chunks or arr.shape or (1,)
+    inner_codecs = [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "gzip", "configuration": {"level": 5}},
+    ]
+    if shards is not None:
+        if any(s % c for s, c in zip(shards, chunks)):
+            raise ValueError(f"chunks {chunks} must divide shards {shards}")
+        store_chunks = tuple(shards)
+        codecs = [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(chunks),
+                "codecs": inner_codecs,
+                "index_codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": "end",
+            },
+        }]
+    else:
+        store_chunks = tuple(chunks)
+        codecs = inner_codecs
     d = os.path.join(root, name)
     os.makedirs(d, exist_ok=True)
     meta = {
@@ -927,13 +1029,10 @@ def write_zarr_array_v3(
         "node_type": "array",
         "shape": list(arr.shape),
         "data_type": arr.dtype.name,
-        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(store_chunks)}},
         "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
         "fill_value": fill_value,
-        "codecs": [
-            {"name": "bytes", "configuration": {"endian": "little"}},
-            {"name": "gzip", "configuration": {"level": 5}},
-        ],
+        "codecs": codecs,
     }
     if attrs:
         meta["attributes"] = attrs
@@ -943,16 +1042,36 @@ def write_zarr_array_v3(
         json.dump(meta, f)
     le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
     pad = _v3_fill_value(fill_value, arr.dtype)  # "NaN" etc → numpy scalar
-    grid = [range((s + c - 1) // c) for s, c in zip(arr.shape, chunks)]
-    for idx in itertools.product(*grid):
-        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
-        block = np.full(chunks, pad if pad is not None else 0, dtype=le.dtype)
-        view = le[sel]
+
+    def padded_block(sel_shape: tuple, view: np.ndarray, bshape: tuple) -> np.ndarray:
+        block = np.full(bshape, pad if pad is not None else 0, dtype=le.dtype)
         block[tuple(slice(0, s) for s in view.shape)] = view
+        return block
+
+    grid = [range((s + c - 1) // c) for s, c in zip(arr.shape, store_chunks)]
+    for idx in itertools.product(*grid):
+        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, store_chunks))
+        view = le[sel]
+        block = padded_block(sel, view, store_chunks)
+        if shards is None:
+            payload = gzip.compress(block.tobytes(), 5)
+        else:
+            igrid = tuple(s // c for s, c in zip(store_chunks, chunks))
+            parts: list[bytes] = []
+            index = np.empty(igrid + (2,), dtype="<u8")
+            off = 0
+            for j in itertools.product(*[range(g) for g in igrid]):
+                isel = tuple(slice(a * c, (a + 1) * c) for a, c in zip(j, chunks))
+                enc = gzip.compress(np.ascontiguousarray(block[isel]).tobytes(), 5)
+                parts.append(enc)
+                index[j + (0,)], index[j + (1,)] = off, len(enc)
+                off += len(enc)
+            idx_body = index.tobytes()
+            payload = b"".join(parts) + idx_body + struct.pack("<I", crc32c(idx_body))
         ckey = "c" + "".join(f"/{i}" for i in idx) if idx else "c"
         os.makedirs(os.path.dirname(os.path.join(d, ckey)), exist_ok=True)
         with open(os.path.join(d, ckey), "wb") as f:
-            f.write(gzip.compress(block.tobytes(), 5))
+            f.write(payload)
 
 
 _SPARK_TO_NP = {
