@@ -75,6 +75,7 @@ HEADLINE = [
     "dup_span_removal",
     "ccnet_buckets",
     "blocklist_filter",
+    "tile_pyramid",
 ]
 
 

@@ -175,3 +175,62 @@ def spatial_join(
         F.col("poly_id"),
         F.when(F.col("is_boundary"), F.lit("boundary")).otherwise(F.lit("interior")).alias("match_kind"),
     )
+
+
+def tile_pyramid(
+    events: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res_fine: int = 7,
+    res_coarse: int = 4,
+) -> DataFrame:
+    """Multi-resolution tile pyramid (the raster overview / map-tile
+    rollup the reference's granule tiling implies, src/YAXTrees.jl
+    chunk_sizes + notebooks' per-tile rendering — generalized to cell
+    counts): one row per (res, cell) for every resolution in
+    ``[res_coarse, res_fine]`` with event counts and the number of
+    res_fine cells covered.
+
+    Scale shape: the EVENT table is scanned and aggregated exactly once
+    (at ``res_fine``, map-side partials); every coarser level re-aggregates
+    the PREVIOUS level's (cell, n) rows — input shrinks geometrically
+    (≥4× per level on this quadtree), so levels beyond the first cost
+    ~nothing and never touch raw events. Parent derivation composes
+    (floor-div chain), pinned against direct fine→level truncation in the
+    oracle twin.
+    """
+    base = (
+        events.select(
+            cells.latlng_to_cell_expr(lat_col, lon_col, res_fine).alias("cell_id")
+        )
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit(res_fine).alias("res"),
+            "cell_id",
+            "n_events",
+            F.lit(1).cast("long").alias("n_fine_cells"),
+        )
+    )
+    levels = [base]
+    prev, prev_res = base, res_fine
+    for r in range(res_fine - 1, res_coarse - 1, -1):
+        nxt = (
+            prev.select(
+                cells.cell_parent_expr(F.col("cell_id"), prev_res, r).alias("cell_id"),
+                "n_events",
+                "n_fine_cells",
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("n_fine_cells").alias("n_fine_cells"),
+            )
+            .select(F.lit(r).alias("res"), "cell_id", "n_events", "n_fine_cells")
+        )
+        levels.append(nxt)
+        prev, prev_res = nxt, r
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

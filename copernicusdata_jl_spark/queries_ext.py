@@ -1001,3 +1001,39 @@ ORDER BY e.event_id
 """
 
 EXT_REGISTRY.update({"salted_join": (q_salted_join, _SALTED_JOIN_SQL)})
+
+
+_PYR_FINE, _PYR_COARSE = 7, 4
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Multi-resolution tile pyramid (operators/spatial_join.
+    tile_pyramid): cell counts at res 7..4, each coarser level
+    re-aggregated from the previous level's rows — events scanned once."""
+    from .operators.spatial_join import tile_pyramid
+
+    return tile_pyramid(
+        _geo_events(spark, sf_dir), res_fine=_PYR_FINE, res_coarse=_PYR_COARSE
+    ).orderBy("res", "cell_id")
+
+
+def _tile_pyramid_sql() -> str:
+    from .functions import cells as C
+
+    fine = _PYR_FINE
+    levels = []
+    for r in range(_PYR_COARSE, _PYR_FINE + 1):
+        cell = "cell_f" if r == fine else C.cell_parent_sql("cell_f", fine, r)
+        levels.append(f"""
+SELECT {r} AS res, {cell} AS cell_id,
+       CAST(sum(n) AS BIGINT) AS n_events, CAST(count(*) AS BIGINT) AS n_fine_cells
+FROM f GROUP BY 2""")
+    union = " UNION ALL ".join(levels)
+    return f"""
+WITH f AS (SELECT {C.latlng_to_cell_sql('lat', 'lon', fine)} AS cell_f, count(*) AS n
+           FROM {GEO_EVENTS_SQL} e GROUP BY 1)
+SELECT * FROM ({union}) ORDER BY res, cell_id
+"""
+
+
+EXT_REGISTRY.update({"tile_pyramid": (q_tile_pyramid, _tile_pyramid_sql())})

@@ -104,3 +104,26 @@ def test_kring_expr_matches_numpy(spark):
     rows = df.select("cell_id", cells.kring_expr("cell_id", 8, 2).alias("ring")).collect()
     for r in rows:
         assert sorted(r["ring"]) == cells.grid_disk(int(r["cell_id"]), 2)
+
+
+def test_tile_pyramid_levels_consistent(spark):
+    """Every level conserves the event total; n_fine_cells sums to the
+    fine-level cell count; each level has <= the previous level's cells."""
+    from copernicusdata_jl_spark.operators.spatial_join import tile_pyramid
+    from copernicusdata_jl_spark.queries import geotagged_events
+    from conftest import SF_DIR
+
+    ev = geotagged_events(spark, SF_DIR)
+    pyr = tile_pyramid(ev, res_fine=7, res_coarse=4).collect()
+    by_res: dict[int, list] = {}
+    for r in pyr:
+        by_res.setdefault(r["res"], []).append(r)
+    total = ev.count()
+    n_fine = len(by_res[7])
+    sizes = []
+    for res in (7, 6, 5, 4):
+        rows = by_res[res]
+        assert sum(x["n_events"] for x in rows) == total
+        assert sum(x["n_fine_cells"] for x in rows) == n_fine
+        sizes.append(len(rows))
+    assert sizes == sorted(sizes, reverse=True)
