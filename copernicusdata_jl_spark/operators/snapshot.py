@@ -186,8 +186,15 @@ class SnapshotTable:
 
     # -- commit / read -------------------------------------------------------
 
-    def commit(self, df: DataFrame, run_id: str, max_retries: int = 10) -> int:
-        """Atomically append ``df`` as a new snapshot; returns its version.
+    def commit(self, df: DataFrame, run_id: str, max_retries: int = 10,
+               replace: bool = False) -> int:
+        """Atomically commit ``df`` as a new snapshot; returns its version.
+
+        ``replace=False`` (default): APPEND — the snapshot is the parent's
+        files plus this commit's. ``replace=True``: the snapshot is ONLY
+        this commit's files (Iceberg's rewrite/overwrite commit); prior
+        versions still time-travel until vacuumed, and their data files
+        stay on disk because old manifests still reference them.
 
         The Spark write happens ONCE (data files are commit-private);
         only the manifest publish retries on version collision.
@@ -220,11 +227,13 @@ class SnapshotTable:
                 "version": version,
                 "parent": latest,
                 "run_id": run_id,
-                "files": parent + files,
+                "files": files if replace else parent + files,
                 "added": files,
+                "operation": "replace" if replace else "append",
                 # pre-stats manifests (older table versions) simply lack
                 # entries for their files — the pruner keeps those files
-                "file_stats": {**parent_doc.get("file_stats", {}), **stats},
+                "file_stats": stats if replace
+                else {**parent_doc.get("file_stats", {}), **stats},
             }
             # union of parent + new columns: files written before a column
             # was added surface it as NULL on read. A LEGACY parent (no
@@ -351,13 +360,33 @@ class SnapshotTable:
             ]))
         return reader.parquet(*[os.path.join(self.path, f) for f in added])
 
+    def compact(self, spark: SparkSession, target_files: int = 1,
+                run_id: str = "compact") -> int | None:
+        """Rewrite the latest snapshot's data into ``target_files`` files
+        via a ``replace`` commit (Iceberg's rewrite_data_files): the cure
+        for small-file buildup from many incremental appends. Rows are
+        identical by construction; prior versions still time-travel until
+        vacuumed. Returns the new version (``None`` on an empty table)."""
+        df = self.read(spark)
+        if df is None:
+            return None
+        return self.commit(df.coalesce(target_files), run_id, replace=True)
+
+    def _live_dirs(self, versions: list[int] | None = None) -> set[str]:
+        vs = self.versions() if versions is None else versions
+        live: set[str] = set()
+        for v in vs:
+            live |= {f.split("/")[1] for f in self.manifest(v)["files"]}
+        return live
+
     def orphans(self) -> list[str]:
-        """Data directories not referenced by the latest snapshot — debris
-        from crashed commits, safe to GC."""
-        v = self.latest_version()
-        live = set()
-        if v is not None:
-            live = {f.split("/")[1] for f in self.manifest(v)["files"]}
+        """Data directories not referenced by ANY manifest — debris from
+        crashed commits, safe to GC. (Referenced-by-an-old-manifest-only
+        dirs are NOT orphans: a ``replace`` commit drops files from the
+        latest snapshot while older versions still time-travel to them —
+        those become deletable only when ``vacuum`` expires their
+        manifests.)"""
+        live = self._live_dirs()
         ddir = os.path.join(self.path, "data")
         return sorted(d for d in os.listdir(ddir) if d not in live)
 
@@ -379,14 +408,27 @@ class SnapshotTable:
 
         deleted = []
         now = time.time()
-        for d in self.orphans():
-            full = os.path.join(self.path, "data", d)
+        vs = self.versions()
+        drop = vs[:-keep_versions] if keep_versions > 0 else []
+        keep = [v for v in vs if v not in drop]
+        # liveness over the manifests that will REMAIN: after a `replace`
+        # commit, files absent from the latest snapshot are still live as
+        # long as an unexpired manifest references them (time travel)
+        live = self._live_dirs(keep)
+        # manifests go FIRST: a crash mid-vacuum must never leave a
+        # surviving manifest pointing at deleted data — expired manifests
+        # gone but their data still present just means debris for the next
+        # vacuum, the safe direction
+        for v in drop:
+            os.unlink(os.path.join(self._mdir(), f"v{v:08d}.json"))
+            deleted.append(f"_manifests/v{v:08d}.json")
+        ddir = os.path.join(self.path, "data")
+        for d in sorted(os.listdir(ddir)):
+            if d in live:
+                continue
+            full = os.path.join(ddir, d)
             if now - os.path.getmtime(full) < min_age_s:
                 continue  # possibly an in-flight commit
             shutil.rmtree(full)
             deleted.append(f"data/{d}")
-        vs = self.versions()
-        for v in vs[:-keep_versions] if keep_versions > 0 else []:
-            os.unlink(os.path.join(self._mdir(), f"v{v:08d}.json"))
-            deleted.append(f"_manifests/v{v:08d}.json")
         return deleted

@@ -193,6 +193,44 @@ def test_manifest_pruning_safe_without_stats(spark, tmp_path):
     assert t.read(spark, where=[("id", ">=", 99999)]).count() == 0
 
 
+def test_replace_commit_and_compaction(spark, tmp_path):
+    """compact() rewrites many small append files into one via a replace
+    commit: rows identical, fewer files, old versions still time-travel,
+    and vacuum only frees the replaced files once their manifests expire."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.commit(_df(spark, i * 4, (i + 1) * 4).repartition(3), f"a{i}")
+    assert len(t.files_for()) == 9
+    v = t.compact(spark, target_files=1)
+    assert v == 3 and t.manifest(v)["operation"] == "replace"
+    assert len(t.files_for()) == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(12))
+    # time travel to a pre-compaction version still works (files live)
+    assert t.read(spark, version=1).count() == 8
+    assert t.orphans() == []  # old dirs are referenced by old manifests
+    # pruning stats were rebuilt for the rewritten file
+    assert t.files_for(where=[("id", ">=", 100)]) == []
+    # vacuum to latest-only: old manifests AND their now-unreferenced data go
+    deleted = t.vacuum(keep_versions=1, min_age_s=0.0)
+    assert any(d.startswith("data/") for d in deleted)
+    assert t.versions() == [3]
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(12))
+
+
+def test_vacuum_keeps_files_of_kept_old_manifests_after_replace(spark, tmp_path):
+    """keep_versions=2 across a replace: the pre-replace manifest stays,
+    so its data files must survive vacuum even though the latest snapshot
+    no longer references them."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 4), "a")
+    t.commit(_df(spark, 4, 6), "b")
+    t.compact(spark, target_files=1)
+    t.vacuum(keep_versions=2, min_age_s=0.0)
+    assert t.versions() == [1, 2]
+    assert t.read(spark, version=1).count() == 6  # old data intact
+    assert t.read(spark).count() == 6
+
+
 def test_history_and_incremental_read(spark, tmp_path):
     """history() walks the commit log with added-row counts; read_added
     yields exactly one commit's rows (the incremental-scan property a
