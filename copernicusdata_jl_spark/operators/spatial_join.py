@@ -192,12 +192,15 @@ def tile_pyramid(
     res_fine cells covered.
 
     Scale shape: the EVENT table is scanned and aggregated exactly once
-    (at ``res_fine``, map-side partials); every coarser level re-aggregates
+    (at ``res_fine``, map-side partials) — the finest aggregate is
+    materialized with an eager ``localCheckpoint`` because a plain union
+    of levels would re-plan that whole lineage per level (Spark performs
+    no cross-branch subplan sharing), turning one event scan into
+    ``n_levels`` scans at 100 TB. Every coarser level then re-aggregates
     the PREVIOUS level's (cell, n) rows — input shrinks geometrically
     (≥4× per level on this quadtree), so levels beyond the first cost
-    ~nothing and never touch raw events. Parent derivation composes
-    (floor-div chain), pinned against direct fine→level truncation in the
-    oracle twin.
+    ~nothing. Parent derivation composes (floor-div chain), pinned
+    against direct fine→level truncation in the oracle twin.
     """
     base = (
         events.select(
@@ -211,6 +214,7 @@ def tile_pyramid(
             "n_events",
             F.lit(1).cast("long").alias("n_fine_cells"),
         )
+        .localCheckpoint(eager=True)
     )
     levels = [base]
     prev, prev_res = base, res_fine
