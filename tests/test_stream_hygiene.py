@@ -80,6 +80,24 @@ def test_stream_hygiene_matches_batch_front_half(spark, tmp_path):
     )
     assert got == want and len(got) > 0
 
+    # the BACK half composes identically on both paths: temperature
+    # resampling is a deterministic function of (url, per-host rates), so
+    # the stream-combined front and the batch front select the same docs
+    # despite completely different partitionings
+    from copernicusdata_jl_spark.streaming.hygiene import mix_sample
+
+    want_mix = sorted(
+        map(tuple, mix_sample(
+            hygiene_front(corpus, bench, CAP, MIN_TOKENS, MAX_REP, DECON_N)
+        ).collect())
+    )
+    got_mix = sorted(
+        map(tuple, mix_sample(
+            read_stream_hygiene(spark, out_dir, CAP, MIN_TOKENS, MAX_REP)
+        ).collect())
+    )
+    assert got_mix == want_mix and 0 < len(got_mix) < len(got)
+
     # every stage bites on this fixture: decontaminated docs are gone ...
     bench_urls = {
         r["url"]
