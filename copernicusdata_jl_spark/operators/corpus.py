@@ -701,3 +701,131 @@ def bpe_train_merges(
         ]
     )
     return spark.createDataFrame(merges, schema)
+
+
+# ---------------------------------------------------------------------------
+# ☆ Gopher document-quality rules (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+
+#: "contains at least two of the following English words" (Rae et al. A1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """☆ The full Gopher document-quality rule set (Rae et al. 2021 Table
+    A1) as ONE Catalyst projection emitting per-rule booleans plus a
+    ``keep`` verdict — the quality gate a training-data pipeline runs
+    between dedup and tokenization (extends ``repetition_filter``).
+
+    Rules: word count in [min,max]; mean word length in [3,10]; '#'/'...'
+    symbol-to-word ratio ≤ 0.1; ≤90% of lines bullet-led; ≤30% of lines
+    ellipsis-terminated; ≥80% of words contain an alphabetic char; ≥2 of
+    the 8 Gopher stopwords present.
+
+    Scale: pure JVM higher-order functions over a split-once word/line
+    array — no shuffle, no Python, whole-stage-codegen eligible. The
+    word/line arrays are materialized in their own projection so the
+    non-cheap lambdas are evaluated once (SPARK-35410 CollapseProject
+    behavior — see ``remove_dup_spans``)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.withColumns({
+        "_words": F.filter(F.split(text, r"\s+"), lambda w: w != ""),
+        "_lines": F.split(text, "\n"),
+        "_hash_n": F.length(text) - F.length(F.regexp_replace(text, "#", "")),
+        "_ell_n": (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / 3,
+    })
+    n = F.size(F.col("_words"))
+    nl = F.size(F.col("_lines"))
+    mean_wl = (
+        F.aggregate(
+            F.transform(F.col("_words"), lambda w: F.length(w)),
+            F.lit(0), lambda a, x: a + x,
+        ) / n
+    )
+    bullet = F.size(F.filter(
+        F.col("_lines"),
+        lambda l: l.startswith("- ") | l.startswith("• ") | l.startswith("* "),
+    ))
+    ell_lines = F.size(F.filter(F.col("_lines"), lambda l: l.endswith("...")))
+    alpha = F.size(F.filter(F.col("_words"), lambda w: w.rlike("[a-zA-Z]")))
+    lowered = F.transform(F.col("_words"), F.lower)
+    stop_hits = sum(
+        F.array_contains(lowered, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    rules = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_mean_word_len": (n > 0) & (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl),
+        "r_symbol_ratio": (n > 0)
+        & ((F.col("_hash_n") + F.col("_ell_n")) / n <= max_symbol_ratio),
+        "r_bullet_lines": bullet / nl <= max_bullet_frac,
+        "r_ellipsis_lines": ell_lines / nl <= max_ellipsis_frac,
+        "r_alpha_words": (n > 0) & (alpha / n >= min_alpha_frac),
+        "r_stopwords": stop_hits >= min_stopwords,
+    }
+    out = base.withColumns(rules)
+    keep = F.lit(True)
+    for r in rules:
+        keep = keep & F.col(r)
+    return out.withColumn("keep", keep).drop("_words", "_lines", "_hash_n", "_ell_n")
+
+
+def gopher_rules_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> str:
+    """DuckDB twin of ``gopher_rules`` (identical rule arithmetic) for the
+    oracle gate; returns a SELECT over ``table`` with the same columns."""
+    t = f"coalesce({text_col}, '')"
+    stop = " + ".join(
+        f"CAST(list_contains(lw, '{w}') AS INT)" for w in GOPHER_STOPWORDS
+    )
+    return f"""
+WITH g AS (
+  SELECT *,
+    list_filter(string_split_regex({t}, '\\s+'), x -> x <> '') AS words,
+    string_split({t}, chr(10)) AS lines,
+    length({t}) - length(replace({t}, '#', '')) AS hash_n,
+    (length({t}) - length(replace({t}, '...', ''))) / 3 AS ell_n
+  FROM {table}
+), m AS (
+  SELECT *,
+    len(words) AS n, len(lines) AS nl,
+    list_aggregate(list_transform(words, x -> length(x)), 'sum') AS wl_sum,
+    len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '• ')
+        OR starts_with(x, '* '))) AS bullet,
+    len(list_filter(lines, x -> ends_with(x, '...'))) AS ell_lines,
+    len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+    list_transform(words, x -> lower(x)) AS lw
+  FROM g
+)
+SELECT doc_id,
+  n >= {min_words} AND n <= {max_words} AS r_word_count,
+  n > 0 AND wl_sum / n >= 3.0 AND wl_sum / n <= 10.0 AS r_mean_word_len,
+  n > 0 AND (hash_n + ell_n) / n <= 0.1 AS r_symbol_ratio,
+  bullet / nl <= 0.9 AS r_bullet_lines,
+  ell_lines / nl <= 0.3 AS r_ellipsis_lines,
+  n > 0 AND alpha / n >= 0.8 AS r_alpha_words,
+  ({stop}) >= 2 AS r_stopwords,
+  (n >= {min_words} AND n <= {max_words})
+    AND (n > 0 AND wl_sum / n >= 3.0 AND wl_sum / n <= 10.0)
+    AND (n > 0 AND (hash_n + ell_n) / n <= 0.1)
+    AND (bullet / nl <= 0.9)
+    AND (ell_lines / nl <= 0.3)
+    AND (n > 0 AND alpha / n >= 0.8)
+    AND (({stop}) >= 2) AS keep
+FROM m
+"""

@@ -56,6 +56,8 @@ def _footer_stats(path: str) -> tuple[int, dict[str, list]]:
     the pruner treats as "cannot prune on this column" (always safe)."""
     import pyarrow.parquet as pq
 
+    import math
+
     md = pq.ParquetFile(path).metadata
     names = [md.schema.column(i).path for i in range(md.num_columns)]
     mins: dict[str, object] = {}
@@ -69,6 +71,13 @@ def _footer_stats(path: str) -> tuple[int, dict[str, list]]:
             if st is None or not st.has_min_max or not isinstance(
                 st.min, (int, float, str, bool)
             ):
+                dead.add(name)
+                continue
+            # NaN-contaminated float stats are meaningless (every comparison
+            # is False → a file could be pruned while containing matching
+            # rows; the parquet spec permits writers that emit them). Treat
+            # the column's stats as absent — the "never prune blind" rule.
+            if isinstance(st.min, float) and (math.isnan(st.min) or math.isnan(st.max)):
                 dead.add(name)
                 continue
             if name not in mins or st.min < mins[name]:
@@ -87,6 +96,14 @@ def _may_match(stats: dict[str, list], col: str, op: str, val) -> bool:
     if col not in stats:
         return True
     lo, hi = stats[col]
+    # belt-and-braces NaN guard: _footer_stats drops NaN-contaminated float
+    # stats at collection time, but a manifest written before that guard
+    # (json round-trips NaN as a literal) could still carry them — every
+    # NaN comparison is False, which would prune a file blind
+    import math
+
+    if any(isinstance(x, float) and math.isnan(x) for x in (lo, hi)):
+        return True
     try:
         if op == "==":
             return lo <= val <= hi
@@ -187,7 +204,7 @@ class SnapshotTable:
     # -- commit / read -------------------------------------------------------
 
     def commit(self, df: DataFrame, run_id: str, max_retries: int = 10,
-               replace: bool = False) -> int:
+               replace: bool = False, expected_parent: int | None = None) -> int:
         """Atomically commit ``df`` as a new snapshot; returns its version.
 
         ``replace=False`` (default): APPEND — the snapshot is the parent's
@@ -195,6 +212,15 @@ class SnapshotTable:
         this commit's files (Iceberg's rewrite/overwrite commit); prior
         versions still time-travel until vacuumed, and their data files
         stay on disk because old manifests still reference them.
+
+        ``expected_parent`` — optimistic-concurrency guard for read-then-
+        replace flows (``compact``): the commit FAILS with CommitConflict
+        if the table's latest version is no longer this one, instead of
+        blindly rebasing. Without it, a concurrent append landing between
+        the compactor's read and its publish would be silently dropped
+        from the replacement snapshot (and later vacuumed) — the lost
+        update Iceberg's rewrite_data_files also refuses. Appends never
+        need it: rebasing an append onto a newer parent is always correct.
 
         The Spark write happens ONCE (data files are commit-private);
         only the manifest publish retries on version collision.
@@ -218,6 +244,12 @@ class SnapshotTable:
         new_fields = {f.name: f.dataType.json() for f in df.schema.fields}
         for _ in range(max_retries):
             latest = self.latest_version()
+            if replace and expected_parent is not None and latest != expected_parent:
+                raise CommitConflict(
+                    f"replace based on v{expected_parent} but table is at "
+                    f"v{latest}: a concurrent commit landed after the "
+                    f"read-for-replace; re-read and retry the whole rewrite"
+                )
             parent_doc = self.manifest(latest) if latest is not None else {}
             parent = parent_doc.get("files", [])
             parent_schema = parent_doc.get("schema", {})
@@ -234,6 +266,17 @@ class SnapshotTable:
                 # entries for their files — the pruner keeps those files
                 "file_stats": stats if replace
                 else {**parent_doc.get("file_stats", {}), **stats},
+                # per-file sequence number (the version that added the file)
+                # — what decides which equality deletes apply to which rows
+                # (a delete affects only files with a LOWER seq). Legacy
+                # parent files missing from the map read as seq 0: older
+                # than any delete, so deletes always apply — safe direction.
+                "file_seq": {f: version for f in files} if replace
+                else {**parent_doc.get("file_seq", {}),
+                      **{f: version for f in files}},
+                # replace folds deletes into the rewritten data (read()
+                # already applied them to the frame being committed)
+                "deletes": [] if replace else parent_doc.get("deletes", []),
             }
             # union of parent + new columns: files written before a column
             # was added surface it as NULL on read. A LEGACY parent (no
@@ -253,6 +296,69 @@ class SnapshotTable:
                 return version
             except CommitConflict:
                 continue  # re-read latest, rebase file list, try N+1
+        raise CommitConflict(f"gave up after {max_retries} retries at {self.path}")
+
+    def delete(self, keys: DataFrame, run_id: str, max_retries: int = 10) -> int:
+        """Merge-on-read row-level DELETE (Iceberg equality deletes): commit
+        a delete file of key rows — takedown / right-to-be-forgotten lists —
+        WITHOUT rewriting any data file. ``keys``'s columns ARE the equality
+        key (e.g. a one-column ``doc_id`` frame). Readers apply the delete
+        as an anti-join; ``compact()`` folds it into rewritten data files.
+
+        Sequence semantics match Iceberg: the delete applies only to data
+        files committed BEFORE it (lower seq), so re-appending a deleted
+        key later makes it visible again — a takedown never silently
+        swallows future legitimate content.
+
+        Reference: the checkpoint/resume protocol (src/Processors.jl
+        breakpoints) plus the LLM-pipeline takedown requirement paired with
+        ``blocklist_filter`` (operators/corpus.py).
+        """
+        key_cols = list(keys.columns)
+        if not key_cols:
+            raise ValueError("delete keys frame has no columns")
+        cid = f"{run_id}-{uuid.uuid4().hex[:12]}"
+        ddir = os.path.join(self.path, "data", cid)
+        keys.dropDuplicates().write.mode("error").parquet(ddir)
+        dfiles = sorted(
+            f"data/{cid}/{f}" for f in os.listdir(ddir) if f.endswith(".parquet")
+        )
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            if latest is None:
+                raise ValueError("cannot delete from a table with no snapshot")
+            parent_doc = self.manifest(latest)
+            schema = parent_doc.get("schema", {})
+            missing = [c for c in key_cols if schema and c not in schema]
+            if missing:
+                raise ValueError(
+                    f"delete key column(s) {missing} not in table schema "
+                    f"{sorted(schema)}"
+                )
+            version = latest + 1
+            doc = {
+                **{k: parent_doc[k] for k in
+                   ("files", "file_stats", "file_seq", "schema")
+                   if k in parent_doc},
+                "version": version,
+                "parent": latest,
+                "run_id": run_id,
+                "added": [],
+                "operation": "delete",
+                "deletes": parent_doc.get("deletes", []) + [
+                    {"files": dfiles, "key_cols": key_cols, "seq": version}
+                ],
+            }
+            tmp = os.path.join(self._mdir(), f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                self._publish(tmp, os.path.join(self._mdir(), f"v{version:08d}.json"))
+                return version
+            except CommitConflict:
+                continue
         raise CommitConflict(f"gave up after {max_retries} retries at {self.path}")
 
     def files_for(self, version: int | None = None,
@@ -314,11 +420,53 @@ class SnapshotTable:
             reader = reader.option("mergeSchema", "true")
         files = self.files_for(v, where)
         if not files:
-            # schema-stable empty result: plan over one real file, read no rows
-            df = reader.parquet(os.path.join(self.path, all_files[0]))
+            # schema-stable empty result, read no rows. With a recorded
+            # schema one file suffices (the supplied schema projects by
+            # name); a LEGACY table must plan over ALL files so mergeSchema
+            # still unions every footer — one file alone could omit columns
+            # the others carry, breaking downstream unionByName
+            base = all_files if not doc.get("schema") else all_files[:1]
+            df = reader.parquet(*[os.path.join(self.path, f) for f in base])
             return df.filter(F.lit(False))
-        df = reader.parquet(*[os.path.join(self.path, f) for f in files])
+        df = self._read_with_deletes(spark, reader, doc, files)
         return df.filter(_residual(where)) if where else df
+
+    def _read_with_deletes(self, spark: SparkSession, reader, doc: dict,
+                           files: list[str]) -> DataFrame:
+        """Merge-on-read: group the data files by WHICH equality deletes
+        apply (a delete applies to files with a lower seq — applicability
+        is monotone in seq, so at most ``n_deletes + 1`` groups exist),
+        anti-join each group against its applicable delete keys, and union.
+        Deletes sharing an equality key are unioned into ONE anti-join.
+
+        Scale: delete files are takedown-list sized (≪ data); the
+        anti-joins are key-column-only and AQE broadcasts them. Data rows
+        are read once — no per-delete rescan."""
+        deletes = doc.get("deletes", [])
+        if not deletes:
+            return reader.parquet(*[os.path.join(self.path, f) for f in files])
+        fseq = doc.get("file_seq", {})
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            s = fseq.get(f, 0)  # legacy file: older than any delete
+            applicable = tuple(i for i, d in enumerate(deletes) if d["seq"] > s)
+            groups.setdefault(applicable, []).append(f)
+        parts = []
+        for applicable, fl in sorted(groups.items()):
+            part = reader.parquet(*[os.path.join(self.path, f) for f in fl])
+            by_key: dict[tuple, list[dict]] = {}
+            for i in applicable:
+                by_key.setdefault(tuple(deletes[i]["key_cols"]), []).append(deletes[i])
+            for key_cols, ds in sorted(by_key.items()):
+                keys = spark.read.parquet(*[
+                    os.path.join(self.path, f) for d in ds for f in d["files"]
+                ]).dropDuplicates()
+                part = part.join(keys, on=list(key_cols), how="left_anti")
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: one row per snapshot with its run_id,
@@ -332,6 +480,8 @@ class SnapshotTable:
                 "version": v,
                 "parent": doc.get("parent"),
                 "run_id": doc.get("run_id"),
+                "operation": doc.get("operation", "append"),
+                "n_deletes": len(doc.get("deletes", [])),
                 "n_files": len(doc.get("files", [])),
                 "added_files": len(doc.get("added", [])),
                 "added_rows": sum(
@@ -364,19 +514,69 @@ class SnapshotTable:
                 run_id: str = "compact") -> int | None:
         """Rewrite the latest snapshot's data into ``target_files`` files
         via a ``replace`` commit (Iceberg's rewrite_data_files): the cure
-        for small-file buildup from many incremental appends. Rows are
+        for small-file buildup from many incremental appends, and the fold
+        point for merge-on-read deletes (the rewrite materializes the
+        anti-joins, so the new snapshot carries no delete files). Rows are
         identical by construction; prior versions still time-travel until
-        vacuumed. Returns the new version (``None`` on an empty table)."""
-        df = self.read(spark)
+        vacuumed. Returns the new version (``None`` on an empty table).
+
+        Concurrency: the read-then-replace pins ``expected_parent`` to the
+        version it read, so a concurrent append/delete landing mid-compact
+        raises CommitConflict instead of being silently dropped from the
+        replacement snapshot (the lost-update Iceberg's rewrite_data_files
+        also fails on). The caller re-runs compact()."""
+        base = self.latest_version()
+        df = self.read(spark, version=base)
         if df is None:
             return None
-        return self.commit(df.coalesce(target_files), run_id, replace=True)
+        return self.commit(df.coalesce(target_files), run_id, replace=True,
+                           expected_parent=base)
+
+    def dedup_append(self, spark: SparkSession, increment: DataFrame,
+                     text_col: str = "text", order_col: str = "doc_id",
+                     digest_col: str = "_digest",
+                     run_id: str = "increment") -> tuple[int, int]:
+        """☆ Incremental cross-snapshot dedup: append a new crawl increment
+        keeping ONLY rows whose content digest is absent from the
+        accumulated corpus — without rescanning the corpus text. Rows are
+        stored WITH their digest, so the dedup anti-join reads just the
+        digest column of prior snapshots (parquet column pruning: the
+        accumulated text bytes are never re-read). Within-increment
+        duplicates keep the lowest ``order_col`` row (deterministic).
+
+        Appending the same increment twice is a no-op by construction
+        (second pass finds every digest already present). Returns
+        ``(version, n_new_rows)``.
+
+        Scale: the anti-join shuffles only (digest) against the increment;
+        at 100 TB the corpus side is a single-column scan of ~16-byte
+        digests, and AQE broadcasts the increment when it's the small side.
+        The streaming twin of this pattern is streaming/hygiene.py's
+        idempotent foreachBatch partials."""
+        inc = increment.withColumn(digest_col, F.md5(F.col(text_col)))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(digest_col).orderBy(order_col)
+        inc = (inc.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+        base = self.read(spark)
+        if base is not None:
+            inc = inc.join(base.select(digest_col).distinct(),
+                           on=digest_col, how="left_anti")
+        version = self.commit(inc, run_id)
+        added = self.read_added(spark, version)
+        return version, (0 if added is None else added.count())
 
     def _live_dirs(self, versions: list[int] | None = None) -> set[str]:
         vs = self.versions() if versions is None else versions
         live: set[str] = set()
         for v in vs:
-            live |= {f.split("/")[1] for f in self.manifest(v)["files"]}
+            doc = self.manifest(v)
+            live |= {f.split("/")[1] for f in doc["files"]}
+            # delete files live under data/<cid>/ too: vacuuming one while
+            # its manifest survives would resurrect deleted rows
+            live |= {f.split("/")[1]
+                     for d in doc.get("deletes", []) for f in d["files"]}
         return live
 
     def orphans(self) -> list[str]:

@@ -436,3 +436,49 @@ def test_bpe_trainer_empty_and_exhausted_corpus(spark):
     out = C.bpe_train_merges(docs, n_merges=3)
     assert out.count() == 0
     assert out.columns == ["merge_rank", "lft", "rgt", "cnt"]
+
+
+def test_gopher_rules_each_rule(spark):
+    """Each Gopher rule (Rae et al. 2021 Table A1) trips on a crafted doc
+    and holds on a clean one; keep is the conjunction."""
+    from copernicusdata_jl_spark.operators.corpus import gopher_rules
+
+    good = "the cat sat on the mat and that dog ran off with all of its food"
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                   # passes everything
+            (1, "too short"),                            # word count floor
+            (2, " ".join(["a"] * 20)),                   # mean word len < 3
+            (3, good + " " + "#" * 1 + " # # #"),        # symbol ratio > 0.1
+            (4, "\n".join(["- item one here"] * 10)),    # bullet lines > 90%
+            (5, "\n".join(["we kept going..."] * 10)),   # ellipsis lines > 30%
+            (6, good + " " + " ".join(["123456"] * 16)), # alpha frac < 80%
+            (7, "zebra quartz jumble " * 7),             # < 2 stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(docs, min_words=10).collect()
+    }
+    assert out[0]["keep"] is True
+    assert out[1]["r_word_count"] is False
+    assert out[2]["r_mean_word_len"] is False
+    assert out[3]["r_symbol_ratio"] is False
+    assert out[4]["r_bullet_lines"] is False
+    assert out[5]["r_ellipsis_lines"] is False
+    assert out[6]["r_alpha_words"] is False
+    assert out[7]["r_stopwords"] is False
+    for i in range(1, 8):
+        assert out[i]["keep"] is False
+
+
+def test_gopher_rules_plan_is_jvm_only(spark):
+    """The rule set is one JVM projection: no Python eval nodes, no
+    Exchange."""
+    from copernicusdata_jl_spark.operators.corpus import gopher_rules
+
+    docs = spark.createDataFrame([(0, "the cat")], "doc_id long, text string")
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan

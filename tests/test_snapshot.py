@@ -278,3 +278,140 @@ def test_atomic_checkpoint_refuses_mixed_layout(spark, tmp_path):
     # the plain layout keeps working
     _, skip = L.run_with_resume(df, "bucket", ckpt, "run3", "cell_id", atomic=False)
     assert skip == 2
+
+
+# ---------------------------------------------------------------------------
+# round 5: merge-on-read row-level deletes (takedown lists) + compaction
+# conflict validation + NaN-stat pruning guard
+# ---------------------------------------------------------------------------
+
+
+def test_delete_merge_on_read_and_seq_semantics(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 10), "a")
+    dv = t.delete(spark.createDataFrame([(2,), (4,)], "id long"), "takedown")
+    assert t.manifest(dv)["operation"] == "delete"
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 3, 5, 6, 7, 8, 9]
+    # time travel to before the delete still sees everything
+    assert t.read(spark, version=0).count() == 10
+    # seq semantics: re-appending a deleted key AFTER the delete makes it
+    # visible again (the delete applies only to lower-seq files)
+    t.commit(_df(spark, 2, 3), "reappend")
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+    hist = t.history()
+    assert [h["operation"] for h in hist] == ["append", "delete", "append"]
+    assert hist[1]["n_deletes"] == 1 and hist[1]["added_files"] == 0
+
+
+def test_delete_then_compact_folds_deletes(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 8), "a")
+    t.delete(spark.createDataFrame([(1,), (5,)], "id long"), "takedown")
+    before = sorted(r.id for r in t.read(spark).collect())
+    cv = t.compact(spark)
+    assert t.manifest(cv)["deletes"] == []  # folded into rewritten files
+    assert sorted(r.id for r in t.read(spark).collect()) == before == [0, 2, 3, 4, 6, 7]
+    # pre-compaction version still time-travels with the delete applied
+    assert sorted(r.id for r in t.read(spark, version=1).collect()) == before
+
+
+def test_delete_with_predicate_pruned_read(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 100).repartition(4), "a")
+    t.delete(spark.createDataFrame([(10,), (90,)], "id long"), "takedown")
+    got = sorted(r.id for r in t.read(spark, where=[("id", "<", 20)]).collect())
+    assert got == [i for i in range(20) if i != 10]
+
+
+def test_compact_raises_on_concurrent_append(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 4), "a")
+
+    interloper = SnapshotTable(str(tmp_path / "t"))
+    raced = {"done": False}
+
+    def racing_publish(tmp, final):
+        if not raced["done"]:
+            raced["done"] = True
+            interloper.commit(_df(spark, 100, 102), "concurrent-append")
+        from copernicusdata_jl_spark.operators.snapshot import _publish_link
+
+        _publish_link(tmp, final)
+
+    t2 = SnapshotTable(str(tmp_path / "t"), publish=racing_publish)
+    with pytest.raises(CommitConflict):
+        t2.compact(spark)
+    # the concurrent append was NOT lost: a re-run compaction includes it
+    cv = SnapshotTable(str(tmp_path / "t")).compact(spark)
+    assert sorted(r.id for r in t.read(spark, version=cv).collect()) == [
+        0, 1, 2, 3, 100, 101,
+    ]
+
+
+def test_delete_key_column_validation(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3), "a")
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.delete(spark.createDataFrame([(1,)], "nope long"), "bad")
+    with pytest.raises(ValueError, match="no snapshot"):
+        SnapshotTable(str(tmp_path / "empty")).delete(
+            spark.createDataFrame([(1,)], "id long"), "bad"
+        )
+
+
+def test_vacuum_keeps_live_delete_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 6), "a")
+    t.delete(spark.createDataFrame([(3,)], "id long"), "takedown")
+    t.vacuum(keep_versions=1, min_age_s=0.0)
+    # latest manifest still references the delete file — it must survive
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2, 4, 5]
+
+
+def test_nan_stats_never_prune():
+    from copernicusdata_jl_spark.operators.snapshot import _may_match
+
+    nan = float("nan")
+    assert _may_match({"x": [nan, nan]}, "x", ">", 0.0) is True
+    assert _may_match({"x": [0.0, nan]}, "x", "<", -1.0) is True
+    # sane stats still prune
+    assert _may_match({"x": [0.0, 1.0]}, "x", ">", 2.0) is False
+
+
+def test_legacy_empty_pruned_read_keeps_union_schema(spark, tmp_path):
+    # legacy (schema-less) manifests: a fully-pruned read must still carry
+    # the UNION of all files' columns, not just the first file's
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 3).selectExpr("id", "id AS a"), "one")
+    t.commit(spark.range(10, 13).selectExpr("id", "id AS a", "id AS b"), "two")
+    # strip recorded schemas to simulate a legacy table
+    for v in t.versions():
+        p = os.path.join(t.path, "_manifests", f"v{v:08d}.json")
+        doc = json.load(open(p))
+        doc.pop("schema", None)
+        json.dump(doc, open(p, "w"))
+    empty = t.read(spark, where=[("id", ">", 10_000)])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "a", "b"}
+
+
+def test_dedup_append_idempotent(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")],
+        "doc_id long, text string",
+    )
+    v0, n0 = t.dedup_append(spark, docs)
+    # within-increment dup (doc 3 repeats doc 1's text) kept lowest doc_id
+    assert n0 == 3
+    assert sorted(r.doc_id for r in t.read(spark).collect()) == [1, 2, 4]
+    # appending the SAME increment again adds zero rows
+    v1, n1 = t.dedup_append(spark, docs)
+    assert n1 == 0 and t.read(spark).count() == 3
+    # a genuinely new doc still lands; an old digest under a new id doesn't
+    inc2 = spark.createDataFrame(
+        [(9, "delta"), (10, "beta")], "doc_id long, text string"
+    )
+    _, n2 = t.dedup_append(spark, inc2)
+    assert n2 == 1
+    assert sorted(r.doc_id for r in t.read(spark).collect()) == [1, 2, 4, 9]
