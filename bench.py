@@ -76,6 +76,12 @@ HEADLINE = [
     "ccnet_buckets",
     "blocklist_filter",
     "tile_pyramid",
+    # round-5 additions: governance + quality layer (snapshot_delete /
+    # incremental_dedup time the real SnapshotTable commit+merge-on-read
+    # machinery including their local parquet writes — that IS the op)
+    "gopher_rules",
+    "snapshot_delete",
+    "incremental_dedup",
 ]
 
 
@@ -85,6 +91,12 @@ def main() -> None:
 
     from copernicusdata_jl_spark.queries import REGISTRY, geotagged_events
     from copernicusdata_jl_spark.session import get_spark
+    from tools.host_probe import quick_probe
+
+    # host-state scalar BEFORE the JVM exists (VERDICT r4 #5): lets any
+    # reader place this emission on the burst-credit axis without a
+    # hand-committed calibration pair
+    probe_pre = quick_probe()
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -150,6 +162,12 @@ def main() -> None:
         "flagship_walls_trial": [m["wall_sec"] for m in trials],
         "n_docs": int(fm["n_docs"]),
         "n_events": n_docs,
+        # self-calibration (tools/host_probe.py): memory-bandwidth and CPU
+        # scalars sampled before Spark started and after the last query.
+        # Read per-query deltas across rounds AGAINST the probe ratio —
+        # walls scale roughly inversely with these on this burst-credit VM
+        "host_probe_pre": probe_pre,
+        "host_probe_post": quick_probe(),
     }
     print(json.dumps(out))
     spark.sql("DROP TABLE IF EXISTS bench_pages")  # managed: removes files
