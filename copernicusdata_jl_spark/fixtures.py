@@ -173,3 +173,46 @@ def tile_grid(z: int = 6) -> pd.DataFrame:
             "max_lat": lat1,
         }
     )
+
+
+def planted_embeddings(
+    spark: SparkSession,
+    n: int = 2000,
+    dim: int = 64,
+    n_clusters: int = 20,
+    seed: int = 7,
+    sigma: float = 0.25,
+    partitions: int = 8,
+) -> DataFrame:
+    """Seeded Gaussian-mixture embeddings with PLANTED cluster structure
+    (VERDICT r4 #3): ``n_clusters`` unit-norm centers, each vector =
+    ``center[vec_id % n_clusters] + sigma * N(0, I)``. Unlike the
+    near-isotropic testdata embeddings (where any bucketing index's recall
+    floors at its candidate fraction), true nearest neighbors here share a
+    cluster, so recall meaningfully separates ANN index quality.
+
+    Deterministic per ``vec_id`` regardless of partitioning: each row's
+    noise comes from an RNG keyed by (seed, vec_id), so the fixture is
+    reproducible across partition counts and cluster sizes — the same
+    partition-invariance rule as the corpus samplers. Generation is
+    distributed (mapInPandas over ``spark.range``); only the k×dim center
+    matrix rides the closure."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            labels = (ids % n_clusters).astype(np.int32)
+            vecs = []
+            for i, lab in zip(ids, labels):
+                noise = np.random.default_rng(seed * 1_000_003 + int(i)).normal(size=dim)
+                vecs.append((centers[lab] + sigma * noise).astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs, "label": labels})
+
+    return (
+        spark.range(n)
+        .repartition(partitions)
+        .mapInPandas(gen, "vec_id long, embedding array<float>, label int")
+    )

@@ -271,3 +271,53 @@ def test_embedding_neardup_degenerate_bucket_capped(spark):
     ).count()
     assert n_uncapped == 50 * 49 // 2
     assert embedding_neardup(emb2, dim=dim, num_proj=4, threshold=0.9, max_bucket=10).count() == 0
+
+
+def test_planted_fixture_ann_dominance_ordering(spark):
+    """VERDICT r4 #3: on the planted Gaussian-mixture fixture
+    (fixtures.planted_embeddings — real cluster structure, unlike the
+    near-isotropic testdata embeddings where recall floors at the candidate
+    fraction), recall@5 must separate the three ANN flavors:
+
+        kmeans-IVF  >=  multi-probe LSH  >=  single-probe LSH
+
+    with the IVF index meeting the stated retrieval target (recall@5 >= 0.8)
+    at a LOWER candidate budget (nprobe/n_centroids = 20% nominal) than
+    multiprobe spends (~33% measured in BENCH/ann_recall_sf01.json). All
+    inputs and indexes are deterministic (seeded fixture, fixed projections,
+    seeded Lloyd iterations), so the ordering is a stable regression pin,
+    not a flaky statistical assertion."""
+    from copernicusdata_jl_spark.fixtures import planted_embeddings
+
+    n, dim, k = 800, 32, 5
+    emb = planted_embeddings(spark, n=n, dim=dim, n_clusters=10).localCheckpoint()
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    base = emb.filter(F.col("vec_id") >= 50)
+
+    # exact ground truth: brute-force cosine on the driver (750x32 fixture)
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    exact = {
+        qid: set(sorted((i for i in rows if i >= 50), key=lambda i: -cos(rows[i], rows[qid]))[:k])
+        for qid in range(50)
+    }
+
+    def recall(df) -> float:
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(exact[qid] & got.get(qid, set())) for qid in exact) / (len(exact) * k)
+
+    rec_lsh = recall(D.ann_lsh_topk(base, q, k=k, dim=dim, num_proj=4, multiprobe=False))
+    rec_multi = recall(D.ann_lsh_topk(base, q, k=k, dim=dim, num_proj=4, multiprobe=True))
+    cents = D.ivf_train_kmeans(base, n_centroids=10, iters=3)
+    rec_ivf = recall(D.ivf_topk(base, q, k=k, nprobe=2, n_centroids=10, centroids=cents))
+
+    assert rec_ivf >= rec_multi >= rec_lsh
+    assert rec_ivf >= 0.8  # the stated retrieval target on planted structure
+    assert rec_multi > rec_lsh  # strict separation somewhere in the ordering
