@@ -918,6 +918,114 @@ def open_zarr_datatree(
 # ---------------------------------------------------------------------------
 
 
+def _v2_write_array_meta(
+    d: str, shape: tuple, chunks: tuple, dtype_str: str, fill_value, attrs: dict | None
+) -> None:
+    """Write one v2 array's ``.zarray`` (+``.zattrs``) — the single source
+    of array metadata bytes, shared by the driver-side and distributed
+    writers."""
+    os.makedirs(d, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": dtype_str,
+        "order": "C",
+        "filters": None,
+        "fill_value": fill_value,
+        "compressor": {"id": "zlib", "level": 5},
+    }
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    if attrs:
+        with open(os.path.join(d, ".zattrs"), "w") as f:
+            json.dump(attrs, f)
+
+
+def _v3_write_array_meta(
+    d: str,
+    shape: tuple,
+    store_chunks: tuple,
+    dtype_name: str,
+    fill_value,
+    attrs: dict | None,
+    dims: list[str] | None,
+    inner_chunks: tuple | None = None,
+) -> None:
+    """Write one v3 array's ``zarr.json`` — shared metadata source for the
+    driver-side and distributed writers. ``inner_chunks`` switches the codec
+    pipeline to ``sharding_indexed`` (store grid = shards of inner chunks)."""
+    if dtype_name not in _V3_DTYPES:
+        raise NotImplementedError(f"dtype {dtype_name} has no v3 data_type name")
+    inner_codecs = [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "gzip", "configuration": {"level": 5}},
+    ]
+    if inner_chunks is not None:
+        codecs = [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(inner_chunks),
+                "codecs": inner_codecs,
+                "index_codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": "end",
+            },
+        }]
+    else:
+        codecs = inner_codecs
+    os.makedirs(d, exist_ok=True)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": dtype_name,
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(store_chunks)}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": fill_value,
+        "codecs": codecs,
+    }
+    if attrs:
+        meta["attributes"] = attrs
+    if dims:
+        meta["dimension_names"] = list(dims)
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _v2_chunk_bytes(block: np.ndarray) -> bytes:
+    """Encode one v2 chunk block — the single place chunk bytes are
+    produced, shared by the driver-side and distributed writers so the two
+    paths are byte-identical by construction."""
+    return zlib.compress(block.tobytes(), 5)
+
+
+def _v3_store_chunk_payload(block: np.ndarray, inner: tuple[int, ...] | None) -> bytes:
+    """Encode one v3 store-chunk payload (``block`` already little-endian,
+    store-chunk-shaped). ``inner=None`` → plain bytes+gzip; otherwise the
+    ``sharding_indexed`` packing (inner chunks + uint64 offset/nbytes index
+    + crc32c, index at end). ``mtime=0`` keeps gzip output deterministic —
+    required for reproducible stores and for driver/distributed parity."""
+    import itertools
+
+    if inner is None:
+        return gzip.compress(np.ascontiguousarray(block).tobytes(), 5, mtime=0)
+    igrid = tuple(s // c for s, c in zip(block.shape, inner))
+    parts: list[bytes] = []
+    index = np.empty(igrid + (2,), dtype="<u8")
+    off = 0
+    for j in itertools.product(*[range(g) for g in igrid]):
+        isel = tuple(slice(a * c, (a + 1) * c) for a, c in zip(j, inner))
+        enc = gzip.compress(np.ascontiguousarray(block[isel]).tobytes(), 5, mtime=0)
+        parts.append(enc)
+        index[j + (0,)], index[j + (1,)] = off, len(enc)
+        off += len(enc)
+    idx_body = index.tobytes()
+    return b"".join(parts) + idx_body + struct.pack("<I", crc32c(idx_body))
+
+
 def write_zarr_array(
     root: str,
     name: str,
@@ -934,22 +1042,7 @@ def write_zarr_array(
 
     chunks = chunks or arr.shape or (1,)
     d = os.path.join(root, name)
-    os.makedirs(d, exist_ok=True)
-    meta = {
-        "zarr_format": 2,
-        "shape": list(arr.shape),
-        "chunks": list(chunks),
-        "dtype": arr.dtype.str,
-        "order": "C",
-        "filters": None,
-        "fill_value": fill_value,
-        "compressor": {"id": "zlib", "level": 5},
-    }
-    with open(os.path.join(d, ".zarray"), "w") as f:
-        json.dump(meta, f)
-    if attrs:
-        with open(os.path.join(d, ".zattrs"), "w") as f:
-            json.dump(attrs, f)
+    _v2_write_array_meta(d, arr.shape, chunks, arr.dtype.str, fill_value, attrs)
     grid = [range((s + c - 1) // c) for s, c in zip(arr.shape, chunks)]
     for idx in itertools.product(*grid):
         sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
@@ -957,7 +1050,7 @@ def write_zarr_array(
         view = arr[sel]
         block[tuple(slice(0, s) for s in view.shape)] = view
         with open(os.path.join(d, ".".join(str(i) for i in idx) or "0"), "wb") as f:
-            f.write(zlib.compress(block.tobytes(), 5))
+            f.write(_v2_chunk_bytes(block))
 
 
 def write_zarr_group(root: str) -> None:
@@ -996,50 +1089,18 @@ def write_zarr_array_v3(
     random access with O(shard) keys instead of O(chunk)."""
     import itertools
 
-    if arr.dtype.name not in _V3_DTYPES:
-        raise NotImplementedError(f"dtype {arr.dtype} has no v3 data_type name")
     chunks = chunks or arr.shape or (1,)
-    inner_codecs = [
-        {"name": "bytes", "configuration": {"endian": "little"}},
-        {"name": "gzip", "configuration": {"level": 5}},
-    ]
     if shards is not None:
         if any(s % c for s, c in zip(shards, chunks)):
             raise ValueError(f"chunks {chunks} must divide shards {shards}")
         store_chunks = tuple(shards)
-        codecs = [{
-            "name": "sharding_indexed",
-            "configuration": {
-                "chunk_shape": list(chunks),
-                "codecs": inner_codecs,
-                "index_codecs": [
-                    {"name": "bytes", "configuration": {"endian": "little"}},
-                    {"name": "crc32c"},
-                ],
-                "index_location": "end",
-            },
-        }]
     else:
         store_chunks = tuple(chunks)
-        codecs = inner_codecs
     d = os.path.join(root, name)
-    os.makedirs(d, exist_ok=True)
-    meta = {
-        "zarr_format": 3,
-        "node_type": "array",
-        "shape": list(arr.shape),
-        "data_type": arr.dtype.name,
-        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(store_chunks)}},
-        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
-        "fill_value": fill_value,
-        "codecs": codecs,
-    }
-    if attrs:
-        meta["attributes"] = attrs
-    if dims:
-        meta["dimension_names"] = list(dims)
-    with open(os.path.join(d, "zarr.json"), "w") as f:
-        json.dump(meta, f)
+    _v3_write_array_meta(
+        d, arr.shape, store_chunks, arr.dtype.name, fill_value, attrs, dims,
+        inner_chunks=None if shards is None else tuple(chunks),
+    )
     le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
     pad = _v3_fill_value(fill_value, arr.dtype)  # "NaN" etc → numpy scalar
 
@@ -1053,21 +1114,7 @@ def write_zarr_array_v3(
         sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, store_chunks))
         view = le[sel]
         block = padded_block(sel, view, store_chunks)
-        if shards is None:
-            payload = gzip.compress(block.tobytes(), 5)
-        else:
-            igrid = tuple(s // c for s, c in zip(store_chunks, chunks))
-            parts: list[bytes] = []
-            index = np.empty(igrid + (2,), dtype="<u8")
-            off = 0
-            for j in itertools.product(*[range(g) for g in igrid]):
-                isel = tuple(slice(a * c, (a + 1) * c) for a, c in zip(j, chunks))
-                enc = gzip.compress(np.ascontiguousarray(block[isel]).tobytes(), 5)
-                parts.append(enc)
-                index[j + (0,)], index[j + (1,)] = off, len(enc)
-                off += len(enc)
-            idx_body = index.tobytes()
-            payload = b"".join(parts) + idx_body + struct.pack("<I", crc32c(idx_body))
+        payload = _v3_store_chunk_payload(block, None if shards is None else chunks)
         ckey = "c" + "".join(f"/{i}" for i in idx) if idx else "c"
         os.makedirs(os.path.dirname(os.path.join(d, ckey)), exist_ok=True)
         with open(os.path.join(d, ckey), "wb") as f:
@@ -1080,7 +1127,173 @@ _SPARK_TO_NP = {
 }
 
 
-def write_zarr_datatree(tree, root: str, mode: str = "error", zarr_format: int = 2) -> None:
+def _resolve_node_fills(val_cols, types, fills, has_null, node_path: str) -> dict:
+    """Per value column: (numpy dtype, fill scalar or None). The single
+    fill-resolution rule shared by the driver-side and distributed writers:
+    a recorded ``missing_value`` sentinel wins; NULLs without a sentinel are
+    only representable for float columns (as NaN) and raise otherwise."""
+    out = {}
+    for col in val_cols:
+        dt = np.dtype(_SPARK_TO_NP.get(types[col], "<f8"))
+        fill = fills.get(col)
+        if fill is None and has_null[col]:
+            if dt.kind != "f":
+                raise ValueError(
+                    f"{node_path}/{col}: NULLs but no missing_value sentinel recorded"
+                )
+            fill = float("nan")
+        out[col] = (dt, fill)
+    return out
+
+
+def _build_chunk_block(
+    coords: tuple, ch: tuple, shape: tuple, dt: np.dtype, fill, v3: bool
+) -> np.ndarray:
+    """Materialize one chunk block pre-scatter, matching the driver-side
+    writers bit-for-bit: v2 pads out-of-bounds cells with raw zeros (the
+    driver slices a base-filled array into zero blocks); v3 pads with the
+    fill value everywhere."""
+    base = dt.type(fill) if fill is not None else dt.type(0)
+    if v3:
+        return np.full(ch, base, dtype=dt)
+    block = np.zeros(ch, dtype=dt)
+    origin = tuple(k * c for k, c in zip(coords, ch))
+    inb = tuple(slice(0, max(0, min(c, s - o))) for c, s, o in zip(ch, shape, origin))
+    block[inb] = base
+    return block
+
+
+def _write_chunk_file(d: str, col: str, coords: tuple, block: np.ndarray, v3: bool) -> None:
+    """Encode + write one chunk object (executor task or driver backfill —
+    same bytes either way via the shared encoders)."""
+    if v3:
+        le = block.astype(block.dtype.newbyteorder("<"), copy=False)
+        payload = _v3_store_chunk_payload(le, None)
+        ckey = "c" + "".join(f"/{i}" for i in coords) if coords else "c"
+    else:
+        payload = _v2_chunk_bytes(block)
+        ckey = ".".join(str(i) for i in coords) or "0"
+    path = os.path.join(d, col, ckey)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(payload)
+
+
+def _write_col_meta(
+    d: str, col: str, shape: tuple, ch: tuple, dt: np.dtype, fill, dims: list[str], v3: bool
+) -> None:
+    """The datatree sink's per-column metadata policy, shared by both
+    writers: v3 REQUIRES a fill_value, so a no-sentinel column writes a
+    spec-valid zero marked ``_cd_no_missing`` (reads must not NULL
+    legitimate zeros); v2 writes JSON null for no-sentinel and NaN fills."""
+    ad = os.path.join(d, col)
+    if v3:
+        if fill is None:
+            _v3_write_array_meta(
+                ad, shape, ch, dt.name, False if dt.kind == "b" else 0,
+                {"_cd_no_missing": True}, dims,
+            )
+        else:
+            _v3_write_array_meta(
+                ad, shape, ch, dt.name, "NaN" if fill != fill else fill, None, dims
+            )
+    else:
+        _v2_write_array_meta(
+            ad, shape, ch, dt.str, None if fill is None or fill != fill else fill,
+            {"_ARRAY_DIMENSIONS": dims},
+        )
+
+
+def _write_node_arrays_distributed(
+    df, d: str, idx_cols: list[str], val_cols: list[str], dims: list[str],
+    fills: dict, types: dict, v3: bool, chunks: tuple | None, node_path: str,
+) -> None:
+    """Chunk-parallel zarr sink (VERDICT r4 #4): instead of materializing
+    the node's array driver-side (``df.toPandas()``), group rows by chunk
+    coordinates — the groupBy IS the chunk-grid repartition — and let each
+    task scatter its rows into a chunk block and write that chunk's objects
+    for every variable directly into the store. The driver sees only
+    (a) one agg row (shape + per-column null flags), (b) the written chunk
+    coordinate list, and (c) the all-fill chunks it backfills for byte
+    parity with the driver-side path; it writes array metadata LAST, so a
+    store is never openable before its chunks exist. At cluster scale the
+    store root is a shared filesystem / object store — the same contract as
+    the reference's to_zarr target (src/YAXTrees.jl:748-773)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    aggs = [F.max(F.col(c)).alias(c) for c in idx_cols] + [
+        F.max(F.col(c).isNull().cast("int")).alias(f"_null_{c}") for c in val_cols
+    ]
+    row = df.agg(*aggs).first()
+    shape = tuple(0 if row[c] is None else int(row[c]) + 1 for c in idx_cols)
+    has_null = {c: bool(row[f"_null_{c}"]) for c in val_cols}
+    spec = _resolve_node_fills(val_cols, types, fills, has_null, node_path)
+    ch = tuple(chunks) if chunks else tuple(max(s, 1) for s in shape)
+
+    written: set[tuple] = set()
+    if all(shape):
+        ckeys = [f"_ck{i}" for i in range(len(idx_cols))]
+        keyed = df.select(
+            *idx_cols, *val_cols,
+            *[F.floor(F.col(c) / F.lit(int(cc))).cast("long").alias(k)
+              for k, c, cc in zip(ckeys, idx_cols, ch)],
+        )
+        spec_ser = {c: (dt.str, fill) for c, (dt, fill) in spec.items()}
+
+        def write_chunk(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            coords = tuple(int(pdf[k].iloc[0]) for k in ckeys)
+            origin = tuple(k * c for k, c in zip(coords, ch))
+            li = tuple(
+                pdf[c].to_numpy(dtype=_np.int64) - o for c, o in zip(idx_cols, origin)
+            )
+            for col in val_cols:
+                dt = _np.dtype(spec_ser[col][0])
+                fill = spec_ser[col][1]
+                block = _build_chunk_block(coords, ch, shape, dt, fill, v3)
+                series = pdf[col]
+                vals = series.to_numpy()
+                if series.isna().any():
+                    base = dt.type(fill)  # driver pre-checked: null => fill
+                    vals = _np.where(series.isna().to_numpy(), base, vals)
+                block[li] = vals.astype(dt)
+                _write_chunk_file(d, col, coords, block, v3)
+            return _pd.DataFrame({k: [v] for k, v in zip(ckeys, coords)})
+
+        out_schema = ", ".join(f"{k} long" for k in ckeys)
+        written = {
+            tuple(int(r[k]) for k in ckeys)
+            for r in keyed.groupBy(*ckeys).applyInPandas(write_chunk, out_schema).collect()
+        }
+        # backfill chunks no row landed in — all-fill blocks, identical
+        # bytes to what the driver-side path writes for those regions
+        grid = [range((s + c - 1) // c) for s, c in zip(shape, ch)]
+        for coords in itertools.product(*grid):
+            if coords in written:
+                continue
+            for col in val_cols:
+                dt, fill = spec[col]
+                _write_chunk_file(
+                    d, col, coords, _build_chunk_block(coords, ch, shape, dt, fill, v3), v3
+                )
+    # metadata last: the store becomes openable only once its chunks exist
+    for col in val_cols:
+        dt, fill = spec[col]
+        _write_col_meta(d, col, shape, ch, dt, fill, dims, v3)
+
+
+def write_zarr_datatree(
+    tree,
+    root: str,
+    mode: str = "error",
+    zarr_format: int = 2,
+    chunks: tuple[int, ...] | None = None,
+    distributed: bool = True,
+) -> None:
     """S10 in the NATIVE format: write a DataTree back out as a Zarr
     group store (the reference's ``to_zarr``, src/YAXTrees.jl:748-773 —
     refusing an existing target the same way); ``zarr_format=3`` writes a
@@ -1089,11 +1302,20 @@ def write_zarr_datatree(tree, root: str, mode: str = "error", zarr_format: int =
     :func:`open_zarr_datatree` produces); arbitrary relational frames
     belong in parquet (``DataTree.to_parquet``) — an unordered DataFrame
     has no well-defined array layout, so this refuses rather than
-    inventing one. Arrays materialize driver-side (trees are catalog
-    scale); NULLs round-trip through each variable's recorded
+    inventing one. NULLs round-trip through each variable's recorded
     ``missing_value`` sentinel. Both formats finish with consolidated
     metadata (v2 ``.zmetadata``, v3 inline ``consolidated_metadata``) so
-    re-opens cost one metadata read."""
+    re-opens cost one metadata read.
+
+    ``distributed=True`` (default) writes chunk objects from executor
+    tasks — rows grouped by chunk-grid coordinates, each task scattering
+    its chunk and writing it straight into the store; the driver handles
+    only metadata and all-fill backfill, never a full array (the sink that
+    absorbs a 100x granule). ``distributed=False`` is the original
+    driver-side path (``df.toPandas()`` + whole-array scatter); the two
+    produce byte-identical stores (pinned by tests/test_zarr.py).
+    ``chunks`` sets the chunk grid for every variable (default: one
+    whole-array chunk, the historical layout)."""
     if zarr_format not in (2, 3):
         raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
     if os.path.exists(root) and mode != "overwrite":
@@ -1121,23 +1343,25 @@ def write_zarr_datatree(tree, root: str, mode: str = "error", zarr_format: int =
                 "frame; use DataTree.to_parquet for relational data"
             )
         dims = [c[len("idx_"):] for c in idx_cols]
-        pdf = df.toPandas()
-        shape = tuple(int(pdf[c].max()) + 1 for c in idx_cols) if len(pdf) else (0,) * len(idx_cols)
         fills = node.properties.get("missing_value", {})
         types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if distributed:
+            _write_node_arrays_distributed(
+                df, d, idx_cols, val_cols, dims, fills, types, v3, chunks, node.path
+            )
+            continue
         import numpy as _np
 
+        pdf = df.toPandas()
+        shape = tuple(int(pdf[c].max()) + 1 for c in idx_cols) if len(pdf) else (0,) * len(idx_cols)
+        spec = _resolve_node_fills(
+            val_cols, types, fills,
+            {c: bool(pdf[c].isna().any()) for c in val_cols}, node.path,
+        )
         idx = tuple(pdf[c].to_numpy(dtype=_np.int64) for c in idx_cols)
         for col in val_cols:
-            dt = _np.dtype(_SPARK_TO_NP.get(types[col], "<f8"))
-            fill = fills.get(col)
+            dt, fill = spec[col]
             series = pdf[col]
-            if fill is None and series.isna().any():
-                if dt.kind != "f":
-                    raise ValueError(
-                        f"{node.path}/{col}: NULLs but no missing_value sentinel recorded"
-                    )
-                fill = float("nan")
             base = dt.type(fill) if fill is not None else dt.type(0)
             arr = _np.full(shape, base, dtype=dt)
             vals = series.to_numpy()
@@ -1150,16 +1374,16 @@ def write_zarr_datatree(tree, root: str, mode: str = "error", zarr_format: int =
                     # mark it as not-a-missing-sentinel so reads don't NULL
                     # legitimate zeros (the v2 layout writes JSON null here)
                     write_zarr_array_v3(
-                        d, col, arr,
+                        d, col, arr, chunks=chunks,
                         fill_value=(False if dt.kind == "b" else 0),
                         dims=dims, attrs={"_cd_no_missing": True},
                     )
                 else:
                     v3fill = "NaN" if fill != fill else fill
-                    write_zarr_array_v3(d, col, arr, fill_value=v3fill, dims=dims)
+                    write_zarr_array_v3(d, col, arr, chunks=chunks, fill_value=v3fill, dims=dims)
             else:
                 write_zarr_array(
-                    d, col, arr,
+                    d, col, arr, chunks=chunks,
                     fill_value=(None if fill is None or fill != fill else fill),
                     attrs={"_ARRAY_DIMENSIONS": dims},
                 )
