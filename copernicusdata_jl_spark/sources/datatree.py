@@ -367,7 +367,20 @@ def open_datatree(
     explicit ``driver`` overrides sniffing; ``mapping`` triggers the mapped
     (rename-projection) scan."""
     if driver is None:
-        if path.endswith(".json"):
+        if path.endswith(".nc") and os.path.isfile(path):
+            with open(path, "rb") as _f:
+                magic = _f.read(4)
+            if magic[:3] == b"CDF" and magic[3:] in (b"\x01", b"\x02"):
+                driver = "nc3"
+            elif magic == b"\x89HDF":
+                raise NotImplementedError(
+                    f"{path}: NetCDF-4 is an HDF5 container and needs h5py "
+                    "(not installed); classic NetCDF-3 (CDF-1/CDF-2) is read "
+                    "natively"
+                )
+            else:
+                raise ValueError(f"{path}: unrecognized .nc magic {magic!r}")
+        elif path.endswith(".json"):
             driver = "json"
         elif path.endswith(".zarr") or (
             os.path.isdir(path)
@@ -407,6 +420,10 @@ def open_datatree(
         from .zarr import open_zarr_datatree
 
         return open_zarr_datatree(spark, path, name, group=group)
+    if driver == "nc3":
+        from .netcdf3 import open_nc3_datatree
+
+        return open_nc3_datatree(spark, path, name)
     if driver == "zip":
         return open_zip_datatree(spark, path, name, group=group)
     if driver == "table":

@@ -66,8 +66,27 @@ def open_mapped_datatree(
         if group is not None and group not in group_path:
             continue  # group filter: dataset never planned/scanned
         node = tree.add_children_full_path(group_path)
-        df = spark.read.parquet(os.path.join(product_root, spec["source"]))
-        df = apply_mapping(df, spec["vars"], strict=bool(spec.get("strict", False)))
+        src = os.path.join(product_root, spec["source"])
+        strict = bool(spec.get("strict", False))
+        if src.endswith(".nc"):
+            # real .SEN3 container: the pure-stdlib NetCDF-3 reader
+            # (sources/netcdf3.py; NetCDF-4/HDF5 stays gated on h5py).
+            # Mapped variables must be co-dimensioned (they are, per nc
+            # group in the reference's mappings); index columns ride along
+            # and the missing_value map is re-keyed to the dest names.
+            from .netcdf3 import nc3_group_frames
+
+            frames, _gattrs, fills = nc3_group_frames(spark, src)
+            wanted = {s for s, _d in spec["vars"]}
+            df, members = max(frames, key=lambda fm: len(set(fm[1]) & wanted))
+            idx_pairs = [[c, c] for c in df.columns if c.startswith("idx_")]
+            df = apply_mapping(df, idx_pairs + [list(p) for p in spec["vars"]], strict=strict)
+            mv = {d: fills[s] for s, d in spec["vars"] if s in fills and s in members}
+            if mv:
+                node.properties["missing_value"] = mv
+        else:
+            df = spark.read.parquet(src)
+            df = apply_mapping(df, spec["vars"], strict=strict)
         nrows = chunk.get("rows")
         if nrows:
             # chunk_sizes → partition granularity (reference attaches
