@@ -553,16 +553,22 @@ def read_zarr_array(store: _Store, key: str) -> tuple[np.ndarray, dict]:
         raw = store.read(f"{key}/{ckey}" if key else ckey)
         if raw is None:
             continue  # hole -> fill_value
-        buf = _decode_chunk(raw, meta.get("compressor"))
-        buf = _decode_filters(buf, filters, dtype)
-        block = np.frombuffer(buf, dtype=dtype, count=int(np.prod(chunks))).reshape(
-            chunks, order=order
-        )
+        block = _decode_block_v2(raw, meta, dtype, chunks)
         sel = tuple(
             slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
         )
         arr[sel] = block[tuple(slice(0, sl.stop - sl.start) for sl in sel)]
     return arr, attrs
+
+
+def _decode_block_v2(raw: bytes, meta: dict, dtype: np.dtype, chunks: tuple) -> np.ndarray:
+    """Decode one v2 chunk payload → chunk-shaped ndarray. Shared by the
+    driver-side assembler and the distributed scan (executor tasks)."""
+    buf = _decode_chunk(raw, meta.get("compressor"))
+    buf = _decode_filters(buf, meta.get("filters") or [], dtype)
+    return np.frombuffer(buf, dtype=dtype, count=int(np.prod(chunks))).reshape(
+        chunks, order=meta.get("order", "C")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -764,20 +770,34 @@ def read_zarr_array_v3(store: _Store, key: str, meta: dict) -> tuple[np.ndarray,
         raw = store.read(f"{key}/{ckey}" if key else ckey)
         if raw is None:
             continue  # hole -> fill_value
-        if shard_i is not None:
-            # bytes->bytes codecs AFTER sharding apply to the whole shard
-            for c in reversed(codecs[1:]):
-                raw = _v3_bb_decode(raw, c)
-            block = _v3_decode_shard(
-                raw, codecs[0].get("configuration") or {}, dtype, chunks, fill
-            )
-        else:
-            block = _v3_decode_chunk(raw, codecs, dtype, chunks)
+        block = _decode_block_v3(raw, meta, dtype, chunks, fill)
         sel = tuple(
             slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
         )
         arr[sel] = block[tuple(slice(0, sl.stop - sl.start) for sl in sel)]
     return arr, attrs
+
+
+def _decode_block_v3(raw: bytes, meta: dict, dtype: np.dtype, chunks: tuple, fill) -> np.ndarray:
+    """Decode one v3 store-chunk payload → chunk-shaped ndarray (plain
+    codec pipelines and ``sharding_indexed``). Shared by the driver-side
+    assembler and the distributed scan."""
+    codecs = meta.get("codecs") or []
+    shard_i = next(
+        (i for i, c in enumerate(codecs) if c.get("name") == "sharding_indexed"), None
+    )
+    if shard_i is not None and shard_i != 0:
+        raise NotImplementedError(
+            "array->array codecs before sharding_indexed are not supported"
+        )
+    if shard_i is not None:
+        # bytes->bytes codecs AFTER sharding apply to the whole shard
+        for c in reversed(codecs[1:]):
+            raw = _v3_bb_decode(raw, c)
+        return _v3_decode_shard(
+            raw, codecs[0].get("configuration") or {}, dtype, chunks, fill
+        )
+    return _v3_decode_chunk(raw, codecs, dtype, chunks)
 
 
 def _group_dataframe(spark: SparkSession, arrays: dict[str, tuple[np.ndarray, dict]]):
@@ -814,6 +834,221 @@ def _group_dataframe(spark: SparkSession, arrays: dict[str, tuple[np.ndarray, di
         pdf = pd.DataFrame(cols)
         frames.append((spark.createDataFrame(pdf), sorted(members)))
     return frames
+
+
+def _spark_type_for_np(dt: np.dtype) -> tuple[str, str]:
+    """numpy dtype → (spark type, pandas nullable dtype) for the
+    distributed scan's output schema. Unsigned ints upcast to the next
+    signed width (uint64 refused: no lossless Spark type)."""
+    if dt.kind == "b":
+        return "boolean", "boolean"
+    if dt.kind == "f":
+        return ("double", "Float64") if dt.itemsize == 8 else ("float", "Float32")
+    if dt.kind == "i":
+        return {1: ("tinyint", "Int8"), 2: ("smallint", "Int16"),
+                4: ("int", "Int32"), 8: ("bigint", "Int64")}[dt.itemsize]
+    if dt.kind == "u":
+        if dt.itemsize == 8:
+            raise NotImplementedError("uint64 has no lossless Spark type")
+        return {1: ("smallint", "Int16"), 2: ("int", "Int32"),
+                4: ("bigint", "Int64")}[dt.itemsize]
+    raise NotImplementedError(f"dtype {dt} not supported by the distributed scan")
+
+
+def _scan_array_meta(store: _Store, key: str) -> dict:
+    """Metadata for ONE array (v2 or v3), normalized for the distributed
+    scan: shape/chunks/dtype/fill/dims plus what a worker needs to build
+    chunk keys and decode payloads. Fill semantics mirror the driver-side
+    assemblers (v2 base64 |S fills; v3 _cd_no_missing marker)."""
+    zj = store.read(f"{key}/zarr.json")
+    if zj:
+        meta = json.loads(zj)
+        name = meta.get("data_type")
+        if name not in _V3_DTYPES:
+            raise NotImplementedError(f"zarr v3 data_type {name!r} not supported")
+        dtype = np.dtype(_V3_DTYPES[name])
+        cg = meta.get("chunk_grid") or {}
+        if cg.get("name") != "regular":
+            raise NotImplementedError(f"zarr v3 chunk_grid {cg.get('name')!r}")
+        cke = meta.get("chunk_key_encoding") or {"name": "default"}
+        sep = (cke.get("configuration") or {}).get(
+            "separator", "/" if cke.get("name") != "v2" else "."
+        )
+        attrs = dict(meta.get("attributes") or {})
+        no_missing = bool(attrs.pop("_cd_no_missing", False))
+        fill = _v3_fill_value(meta.get("fill_value"), dtype)
+        return {
+            "version": 3, "meta": meta, "dtype": dtype,
+            "shape": tuple(meta["shape"]),
+            "chunks": tuple(cg["configuration"]["chunk_shape"]),
+            "sep": sep, "v2_keys": cke.get("name") == "v2",
+            "fill": fill, "sentinel": fill is not None and not no_missing,
+            "dims": list(meta.get("dimension_names") or []) or None,
+        }
+    raw = store.read(f"{key}/.zarray")
+    if raw is None:
+        raise FileNotFoundError(f"{key}: no .zarray / zarr.json")
+    meta = json.loads(raw)
+    dtype = np.dtype(meta["dtype"])
+    fill = meta.get("fill_value")
+    attrs_raw = store.read(f"{key}/.zattrs")
+    attrs = json.loads(attrs_raw) if attrs_raw else {}
+    return {
+        "version": 2, "meta": meta, "dtype": dtype,
+        "shape": tuple(meta["shape"]), "chunks": tuple(meta["chunks"]),
+        "sep": meta.get("dimension_separator", "."), "v2_keys": True,
+        "fill": fill, "sentinel": fill is not None,
+        "dims": attrs.get("_ARRAY_DIMENSIONS"),
+    }
+
+
+def scan_zarr_distributed(
+    spark: SparkSession,
+    path: str,
+    variables: list[str] | None = None,
+    group: str = "",
+) -> DataFrame:
+    """Chunk-parallel Zarr scan → DataFrame: the read-side mirror of the
+    chunk-parallel sink. The driver reads ONLY per-array metadata and plans
+    over a ``spark.range`` of linear chunk ids; executor tasks open the
+    store themselves, read + decode their chunks with the same pure-Python
+    codec machinery as the driver-side assembler (`_decode_block_v2/_v3` —
+    blosc/zlib/gzip/delta/shuffle, v3 codec pipelines incl.
+    ``sharding_indexed``), and emit ``(idx_<dim>..., value...)`` rows with
+    fill sentinels normalized to NULL. Neither driver nor any one task ever
+    materializes a full array — per-task memory is bounded by the chunk
+    volume, so the scan absorbs a 100x granule the same way the sink does.
+
+    ``variables`` must be co-chunked (same dims, shape AND chunk grid —
+    they are, per group, in the reference's products); default is every
+    array in ``group`` sharing the first signature. Local directory and
+    zip stores are supported (S3 scans stay driver-side via
+    ``open_zarr_datatree(client=...)`` — executor-side object-store reads
+    need per-worker credentials, the s3a seam documented in COVERAGE.md).
+
+    Row parity with the driver-side scan (`open_zarr_datatree` node
+    frames) is pinned by tests/test_zarr.py."""
+    if path.startswith("s3://"):
+        raise NotImplementedError(
+            "distributed zarr scan reads stores from executors; use the "
+            "driver-side open_zarr_datatree(client=...) for s3:// paths"
+        )
+    is_zip = path.endswith(".zip") and not os.path.isdir(path)
+    store: _Store = _ZipStore(path) if is_zip else _DirStore(path)
+
+    metas: dict[str, dict] = {}
+    for entry in sorted(store.listdir(group)):
+        if entry in _META_KEYS:
+            continue
+        key = f"{group}/{entry}" if group else entry
+        child_zj = store.read(f"{key}/zarr.json")
+        is_array = store.read(f"{key}/.zarray") is not None or (
+            child_zj is not None and json.loads(child_zj).get("node_type") == "array"
+        )
+        if not is_array:
+            continue
+        if variables is not None and entry not in variables:
+            continue
+        metas[entry] = _scan_array_meta(store, key)
+    if variables:
+        missing = [v for v in variables if v not in metas]
+        if missing:
+            raise KeyError(f"variables {missing} not found under {group!r}")
+    if not metas:
+        raise ValueError(f"no arrays under group {group!r} in {path}")
+
+    sigs: dict[tuple, list[str]] = {}
+    for name, m in metas.items():
+        dims = tuple(m["dims"] or [f"dim_{i}" for i in range(len(m["shape"]))])
+        sigs.setdefault((dims, m["shape"], m["chunks"]), []).append(name)
+    if variables is None:
+        sig = sorted(sigs)[0]
+        metas = {n: metas[n] for n in sigs[sig]}
+    elif len(sigs) > 1:
+        raise ValueError(
+            f"variables are not co-chunked: {[(k, v) for k, v in sigs.items()]}"
+        )
+    else:
+        sig = next(iter(sigs))
+    dims, shape, chunks = sig
+    names = sorted(metas)
+
+    fields = [f"idx_{d} long" for d in dims]
+    for n in names:
+        st, _pd_t = _spark_type_for_np(metas[n]["dtype"])
+        fields.append(f"{n} {st}")
+    schema = ", ".join(fields)
+
+    grid = tuple((s + c - 1) // c for s, c in zip(shape, chunks))
+    nchunks = int(np.prod(grid)) if grid else 1
+    if 0 in shape:
+        return spark.createDataFrame([], schema)
+
+    # what the workers need, all metadata-scale
+    specs = {
+        n: {
+            "key": f"{group}/{n}" if group else n,
+            "version": m["version"], "meta": m["meta"],
+            "dtype_str": m["dtype"].str, "fill": m["fill"],
+            "sentinel": m["sentinel"],
+            "sep": m["sep"], "v2_keys": m["v2_keys"],
+            "pd_type": _spark_type_for_np(m["dtype"])[1],
+        }
+        for n, m in metas.items()
+    }
+    store_desc = ("zip" if is_zip else "dir", path)
+
+    def scan_chunks(batches):
+        import pandas as pd
+
+        from copernicusdata_jl_spark.sources import zarr as Z
+
+        st = Z._ZipStore(store_desc[1]) if store_desc[0] == "zip" else Z._DirStore(store_desc[1])
+        for pdf in batches:
+            for lin in pdf["id"].tolist():
+                coords = []
+                rem = int(lin)
+                for g in reversed(grid):
+                    coords.append(rem % g)
+                    rem //= g
+                coords = tuple(reversed(coords))
+                origin = tuple(k * c for k, c in zip(coords, chunks))
+                inb = tuple(min(c, s - o) for c, s, o in zip(chunks, shape, origin))
+                mesh = np.meshgrid(
+                    *[np.arange(o, o + n_, dtype=np.int64) for o, n_ in zip(origin, inb)],
+                    indexing="ij",
+                )
+                cols = {f"idx_{d}": m.ravel() for d, m in zip(dims, mesh)}
+                for n in names:
+                    sp = specs[n]
+                    dt = np.dtype(sp["dtype_str"])
+                    if sp["v2_keys"]:
+                        ckey = sp["sep"].join(str(i) for i in coords) if coords else "0"
+                    else:
+                        ckey = "c" + "".join(f"{sp['sep']}{i}" for i in coords) if coords else "c"
+                    raw = st.read(f"{sp['key']}/{ckey}")
+                    fill = sp["fill"]
+                    if raw is None:
+                        base = dt.type(fill) if fill is not None else dt.type(0)
+                        block = np.full(chunks, base, dtype=dt)
+                    elif sp["version"] == 2:
+                        block = Z._decode_block_v2(raw, sp["meta"], dt, chunks)
+                    else:
+                        block = Z._decode_block_v3(raw, sp["meta"], dt, chunks, fill)
+                    vals = block[tuple(slice(0, n_) for n_ in inb)].ravel()
+                    if sp["sentinel"]:
+                        f = dt.type(fill)
+                        mask = np.isnan(vals) if f != f else vals == f
+                        s = pd.array(vals, dtype=sp["pd_type"])
+                        s[mask] = pd.NA
+                        cols[n] = s
+                    else:
+                        cols[n] = vals
+                yield pd.DataFrame(cols)
+
+    par = spark.sparkContext.defaultParallelism
+    rng = spark.range(nchunks, numPartitions=min(nchunks, par))
+    return rng.mapInPandas(scan_chunks, schema)
 
 
 def open_zarr_datatree(

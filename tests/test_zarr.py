@@ -789,3 +789,127 @@ def test_distributed_sink_never_materializes_driver_side(spark, tmp_path, monkey
     zmeta = _json.load(open(out + "/v/.zarray"))
     assert arr.shape == (1000, 800) and zmeta["chunks"] == [250, 200]
     assert float(arr[123, 456]) == float((123 * 800 + 456) % 9973)
+
+
+def test_distributed_scan_parity_v2_with_holes_and_fill(spark, tmp_path):
+    """scan_zarr_distributed (executor-side chunk decode) must emit exactly
+    the rows the driver-side assembler produces: multi-chunk v2 store with
+    ragged edges, a deleted-chunk hole, and fill-sentinel NULLs."""
+    import os
+
+    from copernicusdata_jl_spark.sources.zarr import (
+        open_zarr_datatree,
+        scan_zarr_distributed,
+        write_zarr_array,
+        write_zarr_group,
+    )
+
+    root = str(tmp_path / "s.zarr")
+    write_zarr_group(root)
+    a = np.arange(35, dtype=np.float64).reshape(5, 7)
+    a[1, 2] = -1.0  # sentinel cell
+    write_zarr_array(root, "m", a, chunks=(2, 3), fill_value=-1.0,
+                     attrs={"_ARRAY_DIMENSIONS": ["y", "x"]})
+    b = (np.arange(35, dtype=np.int32) * 3).reshape(5, 7)
+    write_zarr_array(root, "n", b, chunks=(2, 3), fill_value=None,
+                     attrs={"_ARRAY_DIMENSIONS": ["y", "x"]})
+    os.remove(os.path.join(root, "m", "1.1"))  # hole -> fill -> NULL
+
+    driver_rows = {
+        (r["idx_y"], r["idx_x"]): (r["m"], r["n"])
+        for r in open_zarr_datatree(spark, root).data.collect()
+    }
+    dist = scan_zarr_distributed(spark, root)
+    dist_rows = {
+        (r["idx_y"], r["idx_x"]): (r["m"], r["n"]) for r in dist.collect()
+    }
+    assert dist_rows == driver_rows and len(dist_rows) == 35
+    assert dist_rows[(1, 2)][0] is None          # sentinel -> NULL
+    assert dist_rows[(2, 4)][0] is None          # hole chunk -> NULL
+    assert dist_rows[(2, 4)][1] == 18 * 3        # un-sentineled int survives
+    assert dict(dist.dtypes)["n"] == "int"       # width-preserving schema
+
+
+def test_distributed_scan_parity_v3_sharded(spark, tmp_path):
+    """v3 parity including the sharding_indexed layout: the worker decode
+    path must handle shard indexes identically to the driver assembler."""
+    from copernicusdata_jl_spark.sources.zarr import (
+        open_zarr_datatree,
+        scan_zarr_distributed,
+        write_zarr_array_v3,
+        write_zarr_group_v3,
+    )
+
+    root = str(tmp_path / "s3.zarr")
+    write_zarr_group_v3(root)
+    a = np.arange(48, dtype=np.float32).reshape(6, 8)
+    a[0, 5] = 99.0
+    write_zarr_array_v3(root, "v", a, chunks=(2, 2), shards=(4, 4),
+                        fill_value=99.0, dims=["r", "c"])
+    driver_rows = {
+        (r["idx_r"], r["idx_c"]): r["v"]
+        for r in open_zarr_datatree(spark, root).data.collect()
+    }
+    dist_rows = {
+        (r["idx_r"], r["idx_c"]): r["v"]
+        for r in scan_zarr_distributed(spark, root, variables=["v"]).collect()
+    }
+    assert dist_rows == driver_rows and len(dist_rows) == 48
+    assert dist_rows[(0, 5)] is None  # v3 fill sentinel -> NULL
+
+
+def test_distributed_scan_never_assembles_driver_side(spark, tmp_path, monkeypatch):
+    """The scale contract: the driver plans chunk ids only — the
+    driver-side array assemblers must never run during a distributed scan
+    (decode happens in executor tasks via _decode_block_*)."""
+    from copernicusdata_jl_spark.sources import zarr as Z
+
+    root = str(tmp_path / "big.zarr")
+    Z.write_zarr_group(root)
+    a = np.arange(200 * 300, dtype=np.float64).reshape(200, 300)
+    Z.write_zarr_array(root, "v", a, chunks=(50, 60),
+                       attrs={"_ARRAY_DIMENSIONS": ["y", "x"]})
+
+    def boom(*_a, **_k):
+        raise AssertionError("driver-side assembler ran during distributed scan")
+
+    monkeypatch.setattr(Z, "read_zarr_array", boom)
+    monkeypatch.setattr(Z, "read_zarr_array_v3", boom)
+    df = Z.scan_zarr_distributed(spark, root)
+    assert df.count() == 60000
+    got = df.filter("idx_y = 123 and idx_x = 45").collect()
+    assert got[0]["v"] == float(123 * 300 + 45)
+
+
+def test_distributed_scan_zip_store_and_refusals(spark, tmp_path):
+    import os
+    import zipfile
+
+    from copernicusdata_jl_spark.sources.zarr import (
+        scan_zarr_distributed,
+        write_zarr_array,
+        write_zarr_group,
+    )
+
+    root = str(tmp_path / "z.zarr")
+    write_zarr_group(root)
+    write_zarr_array(root, "v", np.arange(12, dtype=np.int64).reshape(3, 4),
+                     chunks=(2, 2), attrs={"_ARRAY_DIMENSIONS": ["y", "x"]})
+    write_zarr_array(root, "w", np.arange(6, dtype=np.int64), chunks=(3,),
+                     attrs={"_ARRAY_DIMENSIONS": ["t"]})
+    zpath = str(tmp_path / "z.zarr.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _d, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                z.write(p, os.path.relpath(p, root))
+    rows = {(r["idx_y"], r["idx_x"]): r["v"]
+            for r in scan_zarr_distributed(spark, zpath, variables=["v"]).collect()}
+    assert rows[(2, 3)] == 11 and len(rows) == 12
+
+    with pytest.raises(ValueError, match="co-chunked"):
+        scan_zarr_distributed(spark, zpath, variables=["v", "w"])
+    with pytest.raises(NotImplementedError, match="s3"):
+        scan_zarr_distributed(spark, "s3://bucket/store.zarr")
+    with pytest.raises(KeyError, match="nope"):
+        scan_zarr_distributed(spark, zpath, variables=["nope"])
