@@ -82,6 +82,10 @@ HEADLINE = [
     "gopher_rules",
     "snapshot_delete",
     "incremental_dedup",
+    # pagerank_hosts stays out like neardup_components (fixed-iteration
+    # loop = job scheduling at sf0.1); nc3_scan stays out because one .nc
+    # granule is catalog-scale by contract
+    "chunk_overlap",
 ]
 
 

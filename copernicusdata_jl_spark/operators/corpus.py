@@ -829,3 +829,70 @@ SELECT doc_id,
     AND (({stop}) >= 2) AS keep
 FROM m
 """
+
+
+def chunk_documents(
+    corpus: DataFrame,
+    *,
+    chunk: int = 8,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """☆ Overlapping sliding-window chunking → ``(id, start, n_words,
+    chunk_text)`` — the context-window prep step between hygiene and
+    tokenization (RAG indexing / long-doc training both consume it).
+
+    Window rule (the HF ``return_overflowing_tokens`` convention): starts
+    at 0, stride, 2·stride … up to ``n-chunk``, plus a final tail window
+    AT ``n-chunk`` when the stride doesn't land there exactly — every
+    word is covered, no window runs past the end, and a document shorter
+    than ``chunk`` yields exactly one whole-document chunk.
+
+    Scale: split-once word array + one generator explode per document —
+    no shuffle, no Python, each output row is built map-side by JVM
+    ``slice``/``array_join``. Output size is input·(1 + overlap factor),
+    which is the irreducible cost of overlap, not a plan defect.
+    """
+    words = F.split(F.col(text_col), " ")
+    t = corpus.select(F.col(id_col), words.alias("_w"))
+    n = F.size(F.col("_w"))
+    tail = n - F.lit(chunk)
+    starts = F.when(n <= chunk, F.array(F.lit(0))).otherwise(
+        F.array_distinct(
+            F.concat(F.sequence(F.lit(0), tail, F.lit(stride)), F.array(tail))
+        )
+    )
+    t = t.select(id_col, "_w", F.explode(starts).alias("_start"))
+    return t.select(
+        id_col,
+        F.col("_start").cast("long").alias("start"),
+        F.least(F.lit(chunk), F.size("_w") - F.col("_start")).cast("long").alias("n_words"),
+        F.array_join(F.slice("_w", F.col("_start") + 1, chunk), " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    chunk: int = 8,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``chunk_documents`` (identical window rule)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}
+), s AS (
+  SELECT {id_col}, w, UNNEST(
+    CASE WHEN len(w) <= {chunk} THEN [CAST(0 AS BIGINT)]
+         ELSE list_distinct(list_append(
+                range(0, len(w) - {chunk} + 1, {stride}), len(w) - {chunk}))
+    END) AS start
+  FROM t
+)
+SELECT {id_col}, CAST(start AS BIGINT) AS start,
+       CAST(LEAST({chunk}, len(w) - start) AS BIGINT) AS n_words,
+       array_to_string(list_slice(w, start + 1, start + {chunk}), ' ') AS chunk_text
+FROM s
+"""

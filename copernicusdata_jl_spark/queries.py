@@ -876,7 +876,8 @@ _DRIVER_PRIORITY: list[str] = [
     "snapshot_delete",
     "gopher_rules",
     "incremental_dedup",
-    "ann_planted",
+    "pagerank_hosts",
+    "chunk_overlap",
     "nc3_scan",
     # 22 entries present since r3/r4 but absent from every driver snapshot
     "blocklist_filter",

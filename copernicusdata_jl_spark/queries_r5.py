@@ -116,8 +116,143 @@ def _gopher_rules_sql() -> str:
     return C.gopher_rules_sql("documents", min_words=_GOPHER_MIN_WORDS) + " ORDER BY doc_id"
 
 
+# ---------------------------------------------------------------------------
+# host-graph PageRank
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 5
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Weighted PageRank over the host link graph (operators/graph.py):
+    edges are consecutive-crawl host transitions (doc_id → doc_id+1,
+    self-loops dropped, parallel edges summed to weights); 5 fixed power
+    iterations with dangling-mass redistribution. The host-authority
+    prior a web pipeline joins into its quality gate."""
+    from .operators.graph import pagerank
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    a, b = d.alias("a"), d.alias("b")
+    edges = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.source") != F.col("b.source"))
+        .select(F.col("a.source").alias("src"), F.col("b.source").alias("dst"))
+    )
+    nodes = d.select(F.col("source").alias("host")).distinct()
+    pr = pagerank(edges, damping=_PR_DAMP, iterations=_PR_ITERS, nodes=nodes)
+    return pr.select("host", F.round("rank", 6).alias("rank")).orderBy("host")
+
+
+def _pagerank_sql(iters: int = _PR_ITERS, d: float = _PR_DAMP) -> str:
+    """Unrolled power-iteration CTE chain — identical arithmetic to
+    operators/graph.pagerank (base + d·(link mass + dangling/N))."""
+    parts = [
+        """WITH edges AS (
+  SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.source <> b.source GROUP BY 1, 2
+), nodes AS (SELECT DISTINCT source AS host FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+trans AS (
+  SELECT e.src, e.dst, e.w / o.ow AS p
+  FROM edges e
+  JOIN (SELECT src, SUM(w) AS ow FROM edges GROUP BY src) o ON o.src = e.src
+),
+r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+d{k} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r{k - 1}
+         WHERE host NOT IN (SELECT src FROM trans)),
+r{k} AS (
+  SELECT n.host,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.c, 0.0) + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT t.dst AS host, SUM(p.rank * t.p) AS c
+    FROM r{k - 1} p JOIN trans t ON t.src = p.host GROUP BY t.dst) c
+  ON c.host = n.host)""")
+    parts.append(f"\nSELECT host, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY host")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# overlapping document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 8, 4
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Sliding-window document chunking (operators/corpus.
+    chunk_documents): chunk=8 words, stride=4, tail window included —
+    the context-window prep between hygiene and tokenization."""
+    d = load(spark, sf_dir, "documents")
+    return C.chunk_documents(d, chunk=_CHUNK, stride=_STRIDE).orderBy("doc_id", "start")
+
+
+def _chunk_overlap_sql() -> str:
+    return C.chunk_documents_sql(chunk=_CHUNK, stride=_STRIDE) + " ORDER BY doc_id, start"
+
+
+# ---------------------------------------------------------------------------
+# NetCDF-3 round trip through the datatree scan
+# ---------------------------------------------------------------------------
+
+
+def q_nc3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Classic NetCDF-3 round trip (sources/netcdf3.write_nc3 →
+    open_nc3_datatree): the nation table is written as a real .nc granule
+    (int + double variables over one dimension, big-endian classic
+    layout) and read back through the S4 datatree scan — value parity
+    proves both directions of the pure-stdlib codec against the parquet
+    source of truth. Collect is catalog-scale (25 rows): one granule is
+    one task's object, same contract as a zarr chunk."""
+    import os
+
+    import numpy as np
+
+    from .sources.netcdf3 import open_nc3_datatree, write_nc3
+
+    rows = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    k = np.array([r.n_nationkey for r in rows], dtype=np.int32)
+    g = np.array([r.n_regionkey for r in rows], dtype=np.int32)
+    score = g.astype(np.float64) + k.astype(np.float64) / 100.0
+    path = os.path.join(tempfile.mkdtemp(prefix="nc3-"), "nation.nc")
+    write_nc3(
+        path,
+        [("n", len(k))],
+        {
+            "nationkey": (k, {}, ["n"]),
+            "regionkey": (g, {}, ["n"]),
+            "score": (score, {}, ["n"]),
+        },
+        {"title": "nation"},
+    )
+    tree = open_nc3_datatree(spark, path)
+    return tree.data.select("idx_n", "nationkey", "regionkey", "score").orderBy("idx_n")
+
+
+_NC3_SCAN_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS idx_n,
+       CAST(n_nationkey AS INT) AS nationkey,
+       CAST(n_regionkey AS INT) AS regionkey,
+       CAST(n_regionkey AS DOUBLE) + CAST(n_nationkey AS DOUBLE) / 100.0 AS score
+FROM nation ORDER BY idx_n
+"""
+
+
 R5_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "snapshot_delete": (q_snapshot_delete, _SNAPSHOT_DELETE_SQL),
     "incremental_dedup": (q_incremental_dedup, _INCREMENTAL_DEDUP_SQL),
     "gopher_rules": (q_gopher_rules, _gopher_rules_sql()),
+    "pagerank_hosts": (q_pagerank_hosts, _pagerank_sql()),
+    "chunk_overlap": (q_chunk_overlap, _chunk_overlap_sql()),
+    "nc3_scan": (q_nc3_scan, _NC3_SCAN_SQL),
 }

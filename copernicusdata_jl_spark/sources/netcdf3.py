@@ -211,3 +211,98 @@ def open_nc3_datatree(spark: SparkSession, path: str, name: str | None = None) -
         for extra, members in frames[1:]:
             tree.add_child("_".join(members), data=extra)
     return tree
+
+
+# ---------------------------------------------------------------------------
+# minimal classic writer — the round-trip twin of read_nc3
+# ---------------------------------------------------------------------------
+
+_DTYPE_TO_NC = {"i1": 1, "S1": 2, "i2": 3, "i4": 4, "f4": 5, "f8": 6}
+
+
+def _pack_name(s: str) -> bytes:
+    e = s.encode("utf-8")
+    return struct.pack(">i", len(e)) + e + b"\x00" * ((-len(e)) % 4)
+
+
+def _pack_attrs(attrs: dict) -> bytes:
+    if not attrs:
+        return struct.pack(">ii", 0, 0)
+    out = struct.pack(">ii", _NC_ATTRIBUTE, len(attrs))
+    for nm, v in attrs.items():
+        out += _pack_name(nm)
+        if isinstance(v, str):
+            e = v.encode("latin-1")
+            out += struct.pack(">ii", 2, len(e)) + e + b"\x00" * ((-len(e)) % 4)
+        elif isinstance(v, float):
+            out += struct.pack(">ii", 6, 1) + struct.pack(">d", v)
+        elif isinstance(v, int):
+            out += struct.pack(">ii", 4, 1) + struct.pack(">i", v)
+        else:
+            raise ValueError(f"unsupported nc3 attribute type for {nm!r}: {type(v)}")
+    return out
+
+
+def write_nc3(
+    path: str,
+    dims: list[tuple[str, int]],
+    variables: dict[str, tuple["np.ndarray", dict, list[str]]],
+    gattrs: dict | None = None,
+) -> None:
+    """Write a classic (CDF-1) NetCDF-3 file — fixed-size dimensions only
+    (the read side also handles record variables; granule writing never
+    needs them because the sizes are known). ``variables`` mirrors
+    ``read_nc3``'s return shape: ``{name: (array, attrs, dim_names)}``
+    with int8/16/32, float32/64 or ``S1`` char arrays. Round-trip
+    guarantee: ``read_nc3(write_nc3(x)) == x`` bit-for-bit — values are
+    packed big-endian exactly as parsed, so the reader's test vectors
+    double as the writer's.
+
+    Scale note: one .nc file is one granule-sized OBJECT, written by
+    whichever task owns the granule (same contract as a zarr chunk in the
+    chunk-parallel sink); the writer itself is size-bounded by a single
+    granule, never by the table.
+    """
+    dim_index = {nm: i for i, (nm, _ln) in enumerate(dims)}
+    if any(ln <= 0 for _nm, ln in dims):
+        raise ValueError("write_nc3 supports fixed-size dimensions only")
+
+    header = b"CDF\x01" + struct.pack(">I", 0)  # numrecs = 0 (no record vars)
+    header += struct.pack(">ii", _NC_DIMENSION, len(dims))
+    for nm, ln in dims:
+        header += _pack_name(nm) + struct.pack(">i", ln)
+    header += _pack_attrs(gattrs or {})
+
+    # lay out the variable metadata twice: first with placeholder begins to
+    # learn the header size, then for real (begin offsets are header-relative)
+    def var_section(begins: dict[str, int]) -> bytes:
+        out = struct.pack(">ii", _NC_VARIABLE, len(variables))
+        for nm, (arr, vattrs, dnames) in variables.items():
+            code = _DTYPE_TO_NC.get(arr.dtype.str.lstrip("<>=|"))
+            if code is None:
+                raise ValueError(f"unsupported nc3 dtype {arr.dtype} for {nm!r}")
+            size = NC_TYPES[code][1]
+            nbytes = arr.size * size
+            out += _pack_name(nm) + struct.pack(">i", len(dnames))
+            out += b"".join(struct.pack(">i", dim_index[d]) for d in dnames)
+            out += _pack_attrs(vattrs)
+            out += struct.pack(">ii", code, nbytes + ((-nbytes) % 4))
+            out += struct.pack(">i", begins.get(nm, 0))
+        return out
+
+    hdr_len = len(header) + len(var_section({}))
+    begins: dict[str, int] = {}
+    off = hdr_len
+    payload = b""
+    for nm, (arr, _vattrs, dnames) in variables.items():
+        if list(arr.shape) != [dims[dim_index[d]][1] for d in dnames]:
+            raise ValueError(f"{nm!r}: shape {arr.shape} != declared dims {dnames}")
+        code = _DTYPE_TO_NC[arr.dtype.str.lstrip("<>=|")]
+        raw = np.ascontiguousarray(arr.astype(NC_TYPES[code][0])).tobytes()
+        begins[nm] = off
+        raw += b"\x00" * ((-len(raw)) % 4)
+        payload += raw
+        off += len(raw)
+
+    with open(path, "wb") as f:
+        f.write(header + var_section(begins) + payload)

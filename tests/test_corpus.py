@@ -482,3 +482,66 @@ def test_gopher_rules_plan_is_jvm_only(spark):
     plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    from copernicusdata_jl_spark.operators.corpus import chunk_documents
+
+    # 10 words, chunk=4, stride=2 → starts 0,2,4,6 (tail 6 already on the
+    # stride grid, no duplicate window)
+    text = " ".join(f"w{i}" for i in range(10))
+    d = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = chunk_documents(d, chunk=4, stride=2).orderBy("start").collect()
+    assert [r["start"] for r in rows] == [0, 2, 4, 6]
+    assert all(r["n_words"] == 4 for r in rows)
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[-1]["chunk_text"] == "w6 w7 w8 w9"
+
+
+def test_chunk_tail_window_added_off_grid(spark):
+    from copernicusdata_jl_spark.operators.corpus import chunk_documents
+
+    # 9 words, chunk=4, stride=3 → grid starts 0,3 plus tail 5 (9-4):
+    # the last word is covered exactly once by the tail window
+    text = " ".join(f"w{i}" for i in range(9))
+    d = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = chunk_documents(d, chunk=4, stride=3).orderBy("start").collect()
+    assert [r["start"] for r in rows] == [0, 3, 5]
+    assert rows[-1]["chunk_text"] == "w5 w6 w7 w8"
+
+
+def test_chunk_short_doc_single_whole_chunk(spark):
+    from copernicusdata_jl_spark.operators.corpus import chunk_documents
+
+    d = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    rows = chunk_documents(d, chunk=8, stride=4).collect()
+    assert len(rows) == 1
+    assert rows[0]["start"] == 0 and rows[0]["n_words"] == 3
+    assert rows[0]["chunk_text"] == "a b c"
+
+
+def test_chunk_matches_duckdb_twin(spark):
+    import duckdb
+
+    from copernicusdata_jl_spark.operators.corpus import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    d = spark.createDataFrame(
+        [(i, " ".join(f"t{i}x{j}" for j in range(3 + i))) for i in range(12)],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["doc_id"], r["start"], r["n_words"], r["chunk_text"])
+        for r in chunk_documents(d, chunk=5, stride=2).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", d.toPandas())
+    want = sorted(map(tuple, con.execute(chunk_documents_sql(chunk=5, stride=2)).fetchall()))
+    assert got == want

@@ -184,3 +184,70 @@ def test_sen3_mapped_scan_over_nc3(spark, tmp_path):
     # group filter: only matching groups are planned
     t2 = open_datatree(spark, str(prod), mapping=mapping, group="meteo")
     assert "measurements" not in t2.children and "conditions" in t2.children
+
+
+# ---------------------------------------------------------------------------
+# writer round trip
+# ---------------------------------------------------------------------------
+
+
+def test_write_nc3_roundtrip_all_dtypes(tmp_path):
+    import numpy as np
+
+    from copernicusdata_jl_spark.sources.netcdf3 import read_nc3, write_nc3
+
+    p = str(tmp_path / "rt.nc")
+    dims = [("n", 4), ("m", 3)]
+    vars_ = {
+        "i8v": (np.array([-1, 0, 1, 2], dtype=np.int8), {}, ["n"]),
+        "i16v": (np.array([-300, 0, 300, 7], dtype=np.int16), {"units": "x"}, ["n"]),
+        "i32v": (np.arange(4, dtype=np.int32) * 100000, {}, ["n"]),
+        "f32v": (np.linspace(0, 1, 4, dtype=np.float32), {}, ["n"]),
+        "f64m": (np.arange(12, dtype=np.float64).reshape(4, 3) / 7.0, {}, ["n", "m"]),
+    }
+    write_nc3(p, dims, vars_, {"title": "rt", "level": 3, "scale": 0.5})
+    got_dims, gattrs, out = read_nc3(p)
+    assert got_dims == dims
+    assert gattrs == {"title": "rt", "level": 3, "scale": 0.5}
+    for nm, (arr, attrs, dnames) in vars_.items():
+        g_arr, g_attrs, g_dn = out[nm]
+        assert g_dn == dnames and g_attrs == attrs
+        assert g_arr.dtype.kind == arr.dtype.kind
+        assert np.array_equal(np.asarray(g_arr, dtype=arr.dtype), arr)
+
+
+def test_write_nc3_refuses_bad_shapes_and_dtypes(tmp_path):
+    import numpy as np
+    import pytest
+
+    from copernicusdata_jl_spark.sources.netcdf3 import write_nc3
+
+    p = str(tmp_path / "bad.nc")
+    with pytest.raises(ValueError, match="shape"):
+        write_nc3(p, [("n", 4)], {"v": (np.zeros(3, dtype=np.int32), {}, ["n"])})
+    with pytest.raises(ValueError, match="dtype"):
+        write_nc3(p, [("n", 2)], {"v": (np.zeros(2, dtype=np.int64), {}, ["n"])})
+    with pytest.raises(ValueError, match="fixed-size"):
+        write_nc3(p, [("rec", 0)], {})
+
+
+def test_write_nc3_opens_through_datatree(spark, tmp_path):
+    import numpy as np
+
+    from copernicusdata_jl_spark.sources.netcdf3 import open_nc3_datatree, write_nc3
+
+    p = str(tmp_path / "tree.nc")
+    write_nc3(
+        p,
+        [("n", 3)],
+        {
+            "a": (np.array([1, 2, 3], dtype=np.int32), {}, ["n"]),
+            "b": (np.array([0.5, 1.5, 2.5]), {}, ["n"]),
+        },
+        {"title": "t"},
+    )
+    t = open_nc3_datatree(spark, p)
+    rows = t.data.orderBy("idx_n").collect()
+    assert [r["a"] for r in rows] == [1, 2, 3]
+    assert [r["b"] for r in rows] == [0.5, 1.5, 2.5]
+    assert t.properties["title"] == "t"
