@@ -248,3 +248,44 @@ def test_training_mix_dedup_exchange_never_keys_on_text(spark):
     assert not keyed_on_text, keyed_on_text
     # and the hash repartition is actually present (the scale key exists)
     assert any(re.search(r"hashpartitioning\(_h#\d+L", l) for l in exchanges)
+
+
+def test_chunking_is_pure_map_side(spark):
+    """chunk_documents is one Generate over a split-once word array: no
+    Exchange (the explode never shuffles), no Python eval nodes — at
+    100 TB the chunker's cost is exactly the output bytes."""
+    from copernicusdata_jl_spark.operators.corpus import chunk_documents
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(chunk_documents(d, chunk=8, stride=4))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the window explode
+
+
+def test_pagerank_iteration_plan(spark, monkeypatch):
+    """One PageRank update must stay JVM-side and broadcast the one-row
+    dangling aggregate (never a driver round trip or a data-sized
+    shuffle of anything but (host, rank) pairs)."""
+    from copernicusdata_jl_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+    )
+    # patch the CONCRETE class (pyspark 4: pyspark.sql.DataFrame is the
+    # abstract interface; classic sessions return a subclass)
+    cls = type(e)
+    captured: list = []
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(self)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    pagerank(e, iterations=1)
+    # captured[0] = initial uniform ranks, captured[1] = first update
+    plan = plan_of(captured[1])
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the dangling scalar rides a broadcast nested-loop join (one row)
+    assert "BroadcastNestedLoopJoin" in plan
