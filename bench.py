@@ -86,6 +86,7 @@ HEADLINE = [
     # loop = job scheduling at sf0.1); nc3_scan stays out because one .nc
     # granule is catalog-scale by contract
     "chunk_overlap",
+    "dataset_split",
 ]
 
 

@@ -66,3 +66,55 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         thresh = F.when(F.col(strata_col) == value, F.lit(int(rate * _DENOM))).otherwise(thresh)
     return df.filter(h < thresh)
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    fast: bool = False,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets exactly one
+    split label by hash-threshold bands over ``pmod(h56(salt||key), 1e6)``.
+    The properties a training pipeline needs are the sampler's, inherited:
+    re-runs, resumes, and repartitions assign identically; a row's split
+    never depends on what else is in the corpus (adding data never moves
+    existing rows between splits — the leakage rule).
+
+    ``fractions`` maps label → fraction in declaration order; they must sum
+    to 1 (the last band absorbs the rounding remainder so every hash value
+    lands in exactly one band). Pure map-side projection — no shuffle.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    m = F.pmod(h56_expr(F.col(key_col).cast("string"), salt, fast=fast), F.lit(_DENOM))
+    labels = list(fractions)
+    expr = None
+    cum = 0.0
+    for lbl in labels[:-1]:
+        cum += fractions[lbl]
+        cond = m < int(cum * _DENOM)
+        expr = F.when(cond, F.lit(lbl)) if expr is None else expr.when(cond, F.lit(lbl))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def dataset_split_sql(
+    key_expr: str, fractions: dict[str, float], salt: str = "split", out_col: str = "split"
+) -> str:
+    """DuckDB twin of ``dataset_split``'s label expression (identical
+    thresholds over the portable h56 hash)."""
+    m = sample_mod_sql(key_expr, salt)
+    labels = list(fractions)
+    parts = ["CASE"]
+    cum = 0.0
+    for lbl in labels[:-1]:
+        cum += fractions[lbl]
+        parts.append(f"WHEN {m} < {int(cum * _DENOM)} THEN '{lbl}'")
+    parts.append(f"ELSE '{labels[-1]}' END AS {out_col}")
+    return " ".join(parts)

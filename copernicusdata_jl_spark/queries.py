@@ -879,6 +879,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pagerank_hosts",
     "chunk_overlap",
     "nc3_scan",
+    "dataset_split",
     # 22 entries present since r3/r4 but absent from every driver snapshot
     "blocklist_filter",
     "bpe_encode",

@@ -197,6 +197,31 @@ def _chunk_overlap_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Deterministic train/val/test assignment (functions/sample.
+    dataset_split): hash-threshold bands over the portable h56 hash —
+    re-runs, resumes and corpus growth never move a row between splits
+    (the leakage rule). Pure map-side projection."""
+    from .functions.sample import dataset_split
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return dataset_split(d, "doc_id", _SPLIT_FRACTIONS).orderBy("doc_id")
+
+
+def _dataset_split_sql() -> str:
+    from .functions.sample import dataset_split_sql
+
+    label = dataset_split_sql("CAST(doc_id AS VARCHAR)", _SPLIT_FRACTIONS)
+    return f"SELECT doc_id, lang, {label} FROM documents ORDER BY doc_id"
+
+
+# ---------------------------------------------------------------------------
 # NetCDF-3 round trip through the datatree scan
 # ---------------------------------------------------------------------------
 
@@ -255,4 +280,5 @@ R5_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "pagerank_hosts": (q_pagerank_hosts, _pagerank_sql()),
     "chunk_overlap": (q_chunk_overlap, _chunk_overlap_sql()),
     "nc3_scan": (q_nc3_scan, _NC3_SCAN_SQL),
+    "dataset_split": (q_dataset_split, _dataset_split_sql()),
 }

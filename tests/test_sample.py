@@ -49,3 +49,52 @@ def test_fast_flavor_same_contract(spark):
     df = spark.range(3000).select(F.col("id").cast("string").alias("k"))
     n = df.filter(sample_hash_expr(F.col("k"), 0.2, fast=True)).count()
     assert 0.15 < n / 3000 < 0.25
+
+
+# ---------------------------------------------------------------------------
+# dataset split
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_split_partition_and_rerun_invariant(spark):
+    from copernicusdata_jl_spark.functions.sample import dataset_split
+
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in dataset_split(d, "doc_id", fr).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(d.repartition(13), "doc_id", fr).collect()
+    }
+    assert a == b
+    # every row gets exactly one label; fractions land near target
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / n - 0.8) < 0.05
+    assert abs(c["val"] / n - 0.1) < 0.03
+
+
+def test_dataset_split_growth_never_moves_rows(spark):
+    from copernicusdata_jl_spark.functions.sample import dataset_split
+
+    fr = {"train": 0.5, "val": 0.5}
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in dataset_split(small, "doc_id", fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in dataset_split(big, "doc_id", fr).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_dataset_split_validates_fractions(spark):
+    import pytest
+
+    from copernicusdata_jl_spark.functions.sample import dataset_split
+
+    d = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(d, "doc_id", {"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError, match="two splits"):
+        dataset_split(d, "doc_id", {"all": 1.0})
