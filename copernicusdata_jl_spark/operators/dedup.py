@@ -522,6 +522,25 @@ def ivf_assign_expr(
     return (-F.array_max(F.array(*structs)).getField("ncid")).alias("centroid_id")
 
 
+def ivf_probe_expr(qvec, qnorm, cents, nprobe: int):
+    """Per-query probe list: the ``nprobe`` nearest centroids as an array,
+    sorted by ``struct(cos desc, cid asc)`` (6dp-rounded cosine so the
+    tie-break is stable). The SINGLE source of truth for which IVF lists a
+    query scans — ``ivf_topk`` and the recall artifact's measured
+    candidate cost (tools/ann_recall.py) agree by construction instead of
+    by keeping two copies in lock-step (r5 review / ADVICE r4)."""
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.round(cosine_vs_lit_expr(qvec, qnorm, cv), 6).alias("c"),
+                F.lit(-j).alias("ncid"),
+            )
+            for j, cv in cents
+        ]
+    )
+    return F.slice(F.sort_array(probe_structs, asc=False), 1, nprobe)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -552,19 +571,7 @@ def ivf_topk(
         id_col, vec_col, "_vn",
         ivf_assign_expr(vec_col, cents, norm_col="_vn").alias("centroid_id"),
     )
-    # per-query probe list: sort struct(cos, -cid) desc == cos desc, cid asc
-    probe_structs = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine_vs_lit_expr(F.col(query_vec_col), F.col("_qn"), cv), 6
-                ).alias("c"),
-                F.lit(-j).alias("ncid"),
-            )
-            for j, cv in cents
-        ]
-    )
-    probes = F.slice(F.sort_array(probe_structs, asc=False), 1, nprobe)
+    probes = ivf_probe_expr(F.col(query_vec_col), F.col("_qn"), cents, nprobe)
     q = (
         queries.withColumn("_qn", norm_expr(F.col(query_vec_col)))
         .select(query_id_col, query_vec_col, "_qn", F.explode(probes).alias("p"))

@@ -219,8 +219,11 @@ class SnapshotTable:
         blindly rebasing. Without it, a concurrent append landing between
         the compactor's read and its publish would be silently dropped
         from the replacement snapshot (and later vacuumed) — the lost
-        update Iceberg's rewrite_data_files also refuses. Appends never
-        need it: rebasing an append onto a newer parent is always correct.
+        update Iceberg's rewrite_data_files also refuses. BLIND appends
+        never need it (rebasing is always correct), but an append whose
+        CONTENT came from a read of the table (``dedup_append``) does —
+        its invariant goes stale the moment a concurrent commit lands, so
+        the guard applies to both commit kinds when supplied.
 
         The Spark write happens ONCE (data files are commit-private);
         only the manifest publish retries on version collision.
@@ -244,11 +247,15 @@ class SnapshotTable:
         new_fields = {f.name: f.dataType.json() for f in df.schema.fields}
         for _ in range(max_retries):
             latest = self.latest_version()
-            if replace and expected_parent is not None and latest != expected_parent:
+            # expected_parent=-1 means "the read saw an EMPTY table" (the
+            # guard must also catch a racing FIRST commit)
+            if expected_parent is not None and latest != (
+                None if expected_parent < 0 else expected_parent
+            ):
                 raise CommitConflict(
-                    f"replace based on v{expected_parent} but table is at "
+                    f"commit based on v{expected_parent} but table is at "
                     f"v{latest}: a concurrent commit landed after the "
-                    f"read-for-replace; re-read and retry the whole rewrite"
+                    f"read; re-read and retry the whole operation"
                 )
             parent_doc = self.manifest(latest) if latest is not None else {}
             parent = parent_doc.get("files", [])
@@ -552,20 +559,39 @@ class SnapshotTable:
         at 100 TB the corpus side is a single-column scan of ~16-byte
         digests, and AQE broadcasts the increment when it's the small side.
         The streaming twin of this pattern is streaming/hygiene.py's
-        idempotent foreachBatch partials."""
-        inc = increment.withColumn(digest_col, F.md5(F.col(text_col)))
+        idempotent foreachBatch partials.
+
+        Concurrency: the uniqueness invariant depends on the read, so the
+        commit pins ``expected_parent`` to the version the anti-join saw
+        (r5 review: a plain append would let two racing increments both
+        pass the absence check and both land). On CommitConflict the whole
+        read→dedup→commit is retried against the new latest snapshot."""
+        inc0 = increment.withColumn(digest_col, F.md5(F.col(text_col)))
         from pyspark.sql import Window
 
         w = Window.partitionBy(digest_col).orderBy(order_col)
-        inc = (inc.withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") == 1).drop("_rn"))
-        base = self.read(spark)
-        if base is not None:
-            inc = inc.join(base.select(digest_col).distinct(),
-                           on=digest_col, how="left_anti")
-        version = self.commit(inc, run_id)
-        added = self.read_added(spark, version)
-        return version, (0 if added is None else added.count())
+        inc0 = (inc0.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+        for _ in range(5):
+            base_v = self.latest_version()
+            inc = inc0
+            if base_v is not None:
+                base = self.read(spark, version=base_v)
+                if base is not None:
+                    inc = inc.join(base.select(digest_col).distinct(),
+                                   on=digest_col, how="left_anti")
+            try:
+                version = self.commit(
+                    inc, run_id,
+                    expected_parent=-1 if base_v is None else base_v,
+                )
+            except CommitConflict:
+                continue  # a concurrent commit may hold our digests: redo
+            added = self.read_added(spark, version)
+            return version, (0 if added is None else added.count())
+        raise CommitConflict(
+            f"dedup_append gave up after 5 read-retry rounds at {self.path}"
+        )
 
     def _live_dirs(self, versions: list[int] | None = None) -> set[str]:
         vs = self.versions() if versions is None else versions

@@ -7,7 +7,10 @@ merged into the main REGISTRY by queries.py.
 The snapshot-backed queries build a real SnapshotTable in a fresh temp dir on
 every run (the committed data is a deterministic function of the sf tables,
 so the read-back result is oracle-stable); they exercise the actual commit /
-delete / read machinery, not a simulation.
+delete / read machinery, not a simulation. Each materializes its result
+(eager localCheckpoint) and removes the temp store before returning — the
+bench/driver re-run these every round and must not accumulate table copies
+in /tmp (r5 review finding).
 
 Parity rules as in queries.py: identical column aliases, md5 digests,
 booleans compared raw, doubles rounded at the gate.
@@ -15,6 +18,7 @@ booleans compared raw, doubles rounded at the gate.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -39,14 +43,18 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Iceberg's equality-delete rule). The read is the merge-on-read
     anti-join plan over the final manifest."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    t = SnapshotTable(tempfile.mkdtemp(prefix="snapdel-"))
-    t.commit(docs, "base")
-    t.delete(docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), "takedown")
-    t.commit(
-        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 2 == 0)),
-        "reappend",
-    )
-    return t.read(spark).orderBy("doc_id")
+    tmp = tempfile.mkdtemp(prefix="snapdel-")
+    try:
+        t = SnapshotTable(tmp)
+        t.commit(docs, "base")
+        t.delete(docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), "takedown")
+        t.commit(
+            docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 2 == 0)),
+            "reappend",
+        )
+        return t.read(spark).orderBy("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _SNAPSHOT_DELETE_SQL = """
@@ -69,11 +77,20 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single-column scan, the corpus text is never re-read); the result is
     the incremental read of exactly what the commit added."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    t = SnapshotTable(tempfile.mkdtemp(prefix="incdedup-"))
-    t.dedup_append(spark, docs.filter(F.col("doc_id") % 3 != 0), run_id="corpus")
-    v, _n = t.dedup_append(spark, docs.filter(F.col("doc_id") % 2 == 0),
-                           run_id="crawl-1")
-    return t.read_added(spark, v).select("doc_id", "lang").orderBy("doc_id")
+    tmp = tempfile.mkdtemp(prefix="incdedup-")
+    try:
+        t = SnapshotTable(tmp)
+        t.dedup_append(spark, docs.filter(F.col("doc_id") % 3 != 0), run_id="corpus")
+        v, _n = t.dedup_append(spark, docs.filter(F.col("doc_id") % 2 == 0),
+                               run_id="crawl-1")
+        return (
+            t.read_added(spark, v)
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _INCREMENTAL_DEDUP_SQL = """
@@ -249,19 +266,27 @@ def q_nc3_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = np.array([r.n_nationkey for r in rows], dtype=np.int32)
     g = np.array([r.n_regionkey for r in rows], dtype=np.int32)
     score = g.astype(np.float64) + k.astype(np.float64) / 100.0
-    path = os.path.join(tempfile.mkdtemp(prefix="nc3-"), "nation.nc")
-    write_nc3(
-        path,
-        [("n", len(k))],
-        {
-            "nationkey": (k, {}, ["n"]),
-            "regionkey": (g, {}, ["n"]),
-            "score": (score, {}, ["n"]),
-        },
-        {"title": "nation"},
-    )
-    tree = open_nc3_datatree(spark, path)
-    return tree.data.select("idx_n", "nationkey", "regionkey", "score").orderBy("idx_n")
+    tmp = tempfile.mkdtemp(prefix="nc3-")
+    try:
+        path = os.path.join(tmp, "nation.nc")
+        write_nc3(
+            path,
+            [("n", len(k))],
+            {
+                "nationkey": (k, {}, ["n"]),
+                "regionkey": (g, {}, ["n"]),
+                "score": (score, {}, ["n"]),
+            },
+            {"title": "nation"},
+        )
+        tree = open_nc3_datatree(spark, path)
+        return (
+            tree.data.select("idx_n", "nationkey", "regionkey", "score")
+            .orderBy("idx_n")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _NC3_SCAN_SQL = """

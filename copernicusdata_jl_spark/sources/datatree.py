@@ -423,7 +423,7 @@ def open_datatree(
     if driver == "nc3":
         from .netcdf3 import open_nc3_datatree
 
-        return open_nc3_datatree(spark, path, name)
+        return open_nc3_datatree(spark, path, name, group=group)
     if driver == "zip":
         return open_zip_datatree(spark, path, name, group=group)
     if driver == "table":

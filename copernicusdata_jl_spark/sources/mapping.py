@@ -77,8 +77,22 @@ def open_mapped_datatree(
             from .netcdf3 import nc3_group_frames
 
             frames, _gattrs, fills = nc3_group_frames(spark, src)
+            if not frames:
+                raise ValueError(f"{src}: NetCDF container holds no variables")
             wanted = {s for s, _d in spec["vars"]}
             df, members = max(frames, key=lambda fm: len(set(fm[1]) & wanted))
+            # the mapping contract is co-dimensioned vars per source; a
+            # spec whose vars span differently-shaped nc groups must fail
+            # LOUDLY, not silently drop the minority shape (r5 review) —
+            # vars absent from the file entirely stay governed by `strict`
+            in_file = {v for _f, ms in frames for v in ms}
+            cross = sorted((wanted & in_file) - set(members))
+            if cross:
+                raise ValueError(
+                    f"{src}: mapped variables {cross} have a different "
+                    f"shape than {sorted(set(members) & wanted)}; mapped "
+                    f"vars must be co-dimensioned per source"
+                )
             idx_pairs = [[c, c] for c in df.columns if c.startswith("idx_")]
             df = apply_mapping(df, idx_pairs + [list(p) for p in spec["vars"]], strict=strict)
             mv = {d: fills[s] for s, d in spec["vars"] if s in fills and s in members}

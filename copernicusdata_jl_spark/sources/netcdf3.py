@@ -192,17 +192,38 @@ def nc3_group_frames(spark: SparkSession, path: str):
     return _group_dataframe(spark, arrays), gattrs, fills
 
 
-def open_nc3_datatree(spark: SparkSession, path: str, name: str | None = None) -> DataTree:
+def open_nc3_datatree(
+    spark: SparkSession, path: str, name: str | None = None, group: str | None = None
+) -> DataTree:
     """S4: one classic NetCDF file → DataTree node (the nc analog of
     ``open_zarr_datatree``): co-dimensioned variables merge into the
     node's frame; differently-shaped variables land in child nodes named
     by their variable set; global attributes become node properties and
-    per-variable ``_FillValue``s the node's ``missing_value`` map."""
+    per-variable ``_FillValue``s the node's ``missing_value`` map.
+
+    Classic nc3 is a FLAT format (no real groups), so ``group`` selects
+    by the variable-set name the scan materializes (``"_".join(vars)``,
+    or any single member variable): only that frame is built, others are
+    pruned — the honest analog of the zarr driver's group filter, which
+    ``open_datatree`` forwards here (r5 review: the argument used to be
+    silently dropped)."""
     base = os.path.basename(path)
     if base.endswith(".nc"):
         base = base[:-3]
     tree = DataTree(name or base or "root")
     frames, gattrs, fills = nc3_group_frames(spark, path)
+    if group is not None:
+        sel = [
+            (df, members)
+            for df, members in frames
+            if "_".join(members) == group or group in members
+        ]
+        if not sel:
+            avail = ", ".join("_".join(m) for _df, m in frames) or "<none>"
+            raise ValueError(f"group {group!r} not in {path}; available: {avail}")
+        frames = sel
+        keep = {v for _df, members in frames for v in members}
+        fills = {k: v for k, v in fills.items() if k in keep}
     tree.properties.update(gattrs)
     if fills:
         tree.properties["missing_value"] = dict(fills)
@@ -226,6 +247,11 @@ def _pack_name(s: str) -> bytes:
 
 
 def _pack_attrs(attrs: dict) -> bytes:
+    """Encode an attribute dict. Accepts everything ``read_nc3`` can emit
+    (str, int/float incl. numpy scalars, and LISTS of them — e.g.
+    ``valid_range``), so read→write round trips never fail on attrs.
+    nc3 has no bool type: bools encode as NC_INT 0/1 (and read back as
+    ints — a documented narrowing, not silent corruption)."""
     if not attrs:
         return struct.pack(">ii", 0, 0)
     out = struct.pack(">ii", _NC_ATTRIBUTE, len(attrs))
@@ -234,10 +260,17 @@ def _pack_attrs(attrs: dict) -> bytes:
         if isinstance(v, str):
             e = v.encode("latin-1")
             out += struct.pack(">ii", 2, len(e)) + e + b"\x00" * ((-len(e)) % 4)
-        elif isinstance(v, float):
-            out += struct.pack(">ii", 6, 1) + struct.pack(">d", v)
-        elif isinstance(v, int):
-            out += struct.pack(">ii", 4, 1) + struct.pack(">i", v)
+            continue
+        vals = list(v) if isinstance(v, (list, tuple)) else [v]
+        if not vals:
+            raise ValueError(f"empty nc3 attribute {nm!r}")
+        vals = [x.item() if isinstance(x, np.generic) else x for x in vals]
+        if all(isinstance(x, bool) or isinstance(x, int) for x in vals):
+            out += struct.pack(">ii", 4, len(vals))
+            out += b"".join(struct.pack(">i", int(x)) for x in vals)
+        elif all(isinstance(x, (int, float)) for x in vals):
+            out += struct.pack(">ii", 6, len(vals))
+            out += b"".join(struct.pack(">d", float(x)) for x in vals)
         else:
             raise ValueError(f"unsupported nc3 attribute type for {nm!r}: {type(v)}")
     return out

@@ -519,7 +519,6 @@ def read_zarr_array(store: _Store, key: str) -> tuple[np.ndarray, dict]:
     meta = json.loads(store.read(f"{key}/.zarray" if key else ".zarray"))
     if meta.get("zarr_format") != 2:
         raise NotImplementedError(f"zarr_format {meta.get('zarr_format')} (only v2)")
-    filters = meta.get("filters") or []
     dtype = np.dtype(meta["dtype"])
     if dtype.kind not in "iufbSU":
         raise NotImplementedError(f"dtype {dtype} not supported (numeric/bool/fixed-string only)")
@@ -753,14 +752,9 @@ def read_zarr_array_v3(store: _Store, key: str, meta: dict) -> tuple[np.ndarray,
         return arr, attrs
     import itertools
 
-    codecs = meta.get("codecs") or []
-    shard_i = next(
-        (i for i, c in enumerate(codecs) if c.get("name") == "sharding_indexed"), None
-    )
-    if shard_i is not None and shard_i != 0:
-        raise NotImplementedError(
-            "array->array codecs before sharding_indexed are not supported"
-        )
+    # fail fast on an unsupported codec pipeline BEFORE any chunk read —
+    # an all-hole array would otherwise return fill data without the error
+    _v3_shard_index(meta.get("codecs") or [])
     grid = [range((s + c - 1) // c) for s, c in zip(shape, chunks)]
     for idx in itertools.product(*grid):
         if v2_keys:
@@ -778,11 +772,10 @@ def read_zarr_array_v3(store: _Store, key: str, meta: dict) -> tuple[np.ndarray,
     return arr, attrs
 
 
-def _decode_block_v3(raw: bytes, meta: dict, dtype: np.dtype, chunks: tuple, fill) -> np.ndarray:
-    """Decode one v3 store-chunk payload → chunk-shaped ndarray (plain
-    codec pipelines and ``sharding_indexed``). Shared by the driver-side
-    assembler and the distributed scan."""
-    codecs = meta.get("codecs") or []
+def _v3_shard_index(codecs: list) -> int | None:
+    """Position of ``sharding_indexed`` in a v3 codec pipeline (or None),
+    validating the only supported placement — the ONE source of truth for
+    this rule (driver assembler fail-fast + per-block decode)."""
     shard_i = next(
         (i for i, c in enumerate(codecs) if c.get("name") == "sharding_indexed"), None
     )
@@ -790,6 +783,15 @@ def _decode_block_v3(raw: bytes, meta: dict, dtype: np.dtype, chunks: tuple, fil
         raise NotImplementedError(
             "array->array codecs before sharding_indexed are not supported"
         )
+    return shard_i
+
+
+def _decode_block_v3(raw: bytes, meta: dict, dtype: np.dtype, chunks: tuple, fill) -> np.ndarray:
+    """Decode one v3 store-chunk payload → chunk-shaped ndarray (plain
+    codec pipelines and ``sharding_indexed``). Shared by the driver-side
+    assembler and the distributed scan."""
+    codecs = meta.get("codecs") or []
+    shard_i = _v3_shard_index(codecs)
     if shard_i is not None:
         # bytes->bytes codecs AFTER sharding apply to the whole shard
         for c in reversed(codecs[1:]):
@@ -877,12 +879,17 @@ def _scan_array_meta(store: _Store, key: str) -> dict:
         attrs = dict(meta.get("attributes") or {})
         no_missing = bool(attrs.pop("_cd_no_missing", False))
         fill = _v3_fill_value(meta.get("fill_value"), dtype)
+        # sentinel parity with the driver-side assembler: an EXPLICIT
+        # _FillValue/missing_value attribute wins; else the spec
+        # fill_value, unless _cd_no_missing marks it as padding-only
+        att_fill = attrs.get("_FillValue", attrs.get("missing_value"))
+        sent = att_fill if att_fill is not None else (None if no_missing else fill)
         return {
             "version": 3, "meta": meta, "dtype": dtype,
             "shape": tuple(meta["shape"]),
             "chunks": tuple(cg["configuration"]["chunk_shape"]),
             "sep": sep, "v2_keys": cke.get("name") == "v2",
-            "fill": fill, "sentinel": fill is not None and not no_missing,
+            "fill": fill, "sent": sent, "sentinel": sent is not None,
             "dims": list(meta.get("dimension_names") or []) or None,
         }
     raw = store.read(f"{key}/.zarray")
@@ -893,11 +900,17 @@ def _scan_array_meta(store: _Store, key: str) -> dict:
     fill = meta.get("fill_value")
     attrs_raw = store.read(f"{key}/.zattrs")
     attrs = json.loads(attrs_raw) if attrs_raw else {}
+    # an externally-written store (xarray NetCDF conventions) may declare
+    # its missing sentinel in .zattrs while .zarray fill_value is null —
+    # the driver-side scan honors that, so the distributed scan must too
+    # (r5 review). `fill` keeps padding absent chunks; `sent` nulls values.
+    att_fill = attrs.get("_FillValue", attrs.get("missing_value"))
+    sent = att_fill if att_fill is not None else fill
     return {
         "version": 2, "meta": meta, "dtype": dtype,
         "shape": tuple(meta["shape"]), "chunks": tuple(meta["chunks"]),
         "sep": meta.get("dimension_separator", "."), "v2_keys": True,
-        "fill": fill, "sentinel": fill is not None,
+        "fill": fill, "sent": sent, "sentinel": sent is not None,
         "dims": attrs.get("_ARRAY_DIMENSIONS"),
     }
 
@@ -990,7 +1003,7 @@ def scan_zarr_distributed(
             "key": f"{group}/{n}" if group else n,
             "version": m["version"], "meta": m["meta"],
             "dtype_str": m["dtype"].str, "fill": m["fill"],
-            "sentinel": m["sentinel"],
+            "sent": m["sent"], "sentinel": m["sentinel"],
             "sep": m["sep"], "v2_keys": m["v2_keys"],
             "pd_type": _spark_type_for_np(m["dtype"])[1],
         }
@@ -1037,7 +1050,7 @@ def scan_zarr_distributed(
                         block = Z._decode_block_v3(raw, sp["meta"], dt, chunks, fill)
                     vals = block[tuple(slice(0, n_) for n_ in inb)].ravel()
                     if sp["sentinel"]:
-                        f = dt.type(fill)
+                        f = dt.type(sp["sent"])
                         mask = np.isnan(vals) if f != f else vals == f
                         s = pd.array(vals, dtype=sp["pd_type"])
                         s[mask] = pd.NA

@@ -228,3 +228,32 @@ def test_zip_roundtrip(tree, spark, tmp_path):
     only_geo = open_datatree(spark, zpath, group="geo")
     assert only_geo["measurements"].data is None
     assert only_geo["measurements/geo"].data is not None
+
+
+def test_mapped_nc_scan_refuses_cross_shape_vars(spark, tmp_path):
+    """r5 review: a mapping spec whose vars span differently-shaped nc
+    groups must fail loudly, never silently drop the minority shape; an
+    empty container gets a diagnostic, not a bare max() error."""
+    import numpy as np
+    import pytest
+
+    from copernicusdata_jl_spark.sources.mapping import open_mapped_datatree
+    from copernicusdata_jl_spark.sources.netcdf3 import write_nc3
+
+    root = str(tmp_path)
+    write_nc3(
+        os.path.join(root, "two.nc"),
+        [("n", 3), ("m", 2)],
+        {
+            "a": (np.array([1, 2, 3], dtype=np.int32), {}, ["n"]),
+            "b": (np.array([10, 20], dtype=np.int32), {}, ["m"]),
+        },
+    )
+    mapping = {"data_mapping": {"g": {
+        "source": "two.nc", "vars": [["a", "x"], ["b", "y"]]}}}
+    with pytest.raises(ValueError, match="co-dimensioned"):
+        open_mapped_datatree(spark, root, mapping)
+    # single-shape spec still works
+    ok = {"data_mapping": {"g": {"source": "two.nc", "vars": [["a", "x"]]}}}
+    t = open_mapped_datatree(spark, root, ok)
+    assert [r["x"] for r in t["g"].data.orderBy("idx_n").collect()] == [1, 2, 3]

@@ -251,3 +251,54 @@ def test_write_nc3_opens_through_datatree(spark, tmp_path):
     assert [r["a"] for r in rows] == [1, 2, 3]
     assert [r["b"] for r in rows] == [0.5, 1.5, 2.5]
     assert t.properties["title"] == "t"
+
+
+def test_write_nc3_list_and_numpy_attrs_roundtrip(tmp_path):
+    import numpy as np
+
+    from copernicusdata_jl_spark.sources.netcdf3 import read_nc3, write_nc3
+
+    p = str(tmp_path / "attrs.nc")
+    write_nc3(
+        p,
+        [("n", 2)],
+        {"v": (np.array([1, 2], dtype=np.int32),
+               {"valid_range": [0, 100], "scale": np.float64(0.5),
+                "count": np.int32(7), "flag": True}, ["n"])},
+        {"levels": [1.5, 2.5]},
+    )
+    _dims, gattrs, out = read_nc3(p)
+    assert gattrs["levels"] == [1.5, 2.5]
+    a = out["v"][1]
+    assert a["valid_range"] == [0, 100]
+    assert a["scale"] == 0.5 and a["count"] == 7
+    assert a["flag"] == 1  # nc3 has no bool: documented narrowing
+    # and the read-back attrs are themselves writable again (full cycle)
+    write_nc3(str(tmp_path / "attrs2.nc"), _dims,
+              {"v": out["v"]}, gattrs)
+
+
+def test_open_nc3_datatree_group_filter(spark, tmp_path):
+    import numpy as np
+    import pytest
+
+    from copernicusdata_jl_spark.sources.datatree import open_datatree
+    from copernicusdata_jl_spark.sources.netcdf3 import write_nc3
+
+    p = str(tmp_path / "two.nc")
+    write_nc3(
+        p,
+        [("n", 3), ("m", 2)],
+        {
+            "a": (np.array([1, 2, 3], dtype=np.int32), {}, ["n"]),
+            "b": (np.array([10, 20], dtype=np.int32), {}, ["m"]),
+        },
+    )
+    # group selects the variable-set frame; open_datatree forwards it
+    t = open_datatree(spark, p, group="a")
+    assert [r["a"] for r in t.data.orderBy("idx_n").collect()] == [1, 2, 3]
+    assert t.children == {}
+    t2 = open_datatree(spark, p, group="b")
+    assert [r["b"] for r in t2.data.orderBy("idx_m").collect()] == [10, 20]
+    with pytest.raises(ValueError, match="available"):
+        open_datatree(spark, p, group="nope")

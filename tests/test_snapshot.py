@@ -415,3 +415,59 @@ def test_dedup_append_idempotent(spark, tmp_path):
     _, n2 = t.dedup_append(spark, inc2)
     assert n2 == 1
     assert sorted(r.doc_id for r in t.read(spark).collect()) == [1, 2, 4, 9]
+
+
+def test_append_expected_parent_guard(spark, tmp_path):
+    """r5 review: expected_parent now guards APPENDS too (an append whose
+    content came from a read — dedup_append — goes stale when a
+    concurrent commit lands); -1 means 'the read saw an empty table'."""
+    t = SnapshotTable(str(tmp_path / "g"))
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    v0 = t.commit(df, "base")
+    # stale parent → conflict, matching parent → fine
+    with pytest.raises(CommitConflict, match="table is at"):
+        t.commit(df, "stale", expected_parent=v0 + 5)
+    v1 = t.commit(df, "ok", expected_parent=v0)
+    assert v1 == v0 + 1
+    # -1 (expect-empty) on a non-empty table → conflict
+    with pytest.raises(CommitConflict):
+        t.commit(df, "first", expected_parent=-1)
+
+
+def test_dedup_append_retries_after_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A commit landing between dedup_append's read and its publish must
+    NOT produce duplicate digests: the guard fires and the retry redoes
+    the anti-join against the new snapshot."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "race"))
+    docs = spark.createDataFrame(
+        [(i, f"text-{i % 4}") for i in range(8)], ["doc_id", "text"]
+    )
+    t.dedup_append(spark, docs.filter(F.col("doc_id") < 2))  # texts 0,1
+
+    # inject: the first read-for-dedup is followed by a concurrent commit
+    # of text-2 (same digest the increment carries) before the publish
+    orig_read = SnapshotTable.read
+    fired = {"done": False}
+
+    def racing_read(self, spark_, version=None, **kw):
+        out = orig_read(self, spark_, version=version, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            inc = docs.filter(F.col("doc_id") == 2)  # text-2
+            orig_commit(self, inc.withColumn("_digest", F.md5("text")), "race")
+        return out
+
+    orig_commit = SnapshotTable.commit
+    monkeypatch.setattr(SnapshotTable, "read", racing_read)
+    v, n = t.dedup_append(spark, docs.filter(F.col("doc_id").isin(2, 3)))
+    monkeypatch.setattr(SnapshotTable, "read", orig_read)
+
+    # text-2 must appear exactly once table-wide (the racer's copy);
+    # the retried dedup_append added only text-3
+    final = t.read(spark)
+    counts = {r["_digest"]: r["cnt"] for r in
+              final.groupBy("_digest").agg(F.count("*").alias("cnt")).collect()}
+    assert all(c == 1 for c in counts.values()), counts
+    assert n == 1

@@ -913,3 +913,40 @@ def test_distributed_scan_zip_store_and_refusals(spark, tmp_path):
         scan_zarr_distributed(spark, "s3://bucket/store.zarr")
     with pytest.raises(KeyError, match="nope"):
         scan_zarr_distributed(spark, zpath, variables=["nope"])
+
+
+def test_distributed_scan_honors_zattrs_fill_sentinel(spark, tmp_path):
+    """r5 review: an externally-written v2 store (xarray NetCDF
+    conventions) declares _FillValue in .zattrs while .zarray fill_value
+    is null — the distributed scan must NULL those cells exactly like the
+    driver-side scan does."""
+    import json as _json
+
+    import numpy as _np
+
+    from copernicusdata_jl_spark.sources.zarr import (
+        open_zarr_datatree,
+        scan_zarr_distributed,
+    )
+
+    import os as _os
+
+    root = str(tmp_path / "ext.zarr")
+    v = root + "/v"
+    _os.makedirs(v)
+    _json.dump({"zarr_format": 2}, open(root + "/.zgroup", "w"))
+    _json.dump(
+        {"zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "<i4",
+         "order": "C", "fill_value": None, "filters": None, "compressor": None},
+        open(v + "/.zarray", "w"),
+    )
+    _json.dump({"_ARRAY_DIMENSIONS": ["i"], "_FillValue": -9999},
+               open(v + "/.zattrs", "w"))
+    open(v + "/0", "wb").write(_np.array([1, -9999], dtype="<i4").tobytes())
+    open(v + "/1", "wb").write(_np.array([-9999, 4], dtype="<i4").tobytes())
+
+    want = {0: 1, 1: None, 2: None, 3: 4}
+    drv = {r["idx_i"]: r["v"] for r in open_zarr_datatree(spark, root).data.collect()}
+    dist = {r["idx_i"]: r["v"] for r in scan_zarr_distributed(spark, root).collect()}
+    assert drv == want
+    assert dist == want

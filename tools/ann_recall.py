@@ -85,14 +85,7 @@ def evaluate(spark, emb, n_queries: int, k: int,
             D.ivf_assign_expr("embedding", cents, norm_col="_vn").alias("centroid_id")
         )
         qq = q.withColumn("_qn", D.norm_expr(F.col("qe")))
-        probe_structs = F.array(*[
-            F.struct(
-                F.round(D.cosine_vs_lit_expr(F.col("qe"), F.col("_qn"), cv), 6).alias("c"),
-                F.lit(-j).alias("ncid"),
-            )
-            for j, cv in cents
-        ])
-        probes = F.slice(F.sort_array(probe_structs, asc=False), 1, nprobe)
+        probes = D.ivf_probe_expr(F.col("qe"), F.col("_qn"), cents, nprobe)
         qsel = qq.select("query_id", F.explode(probes).alias("p")).select(
             "query_id", (-F.col("p.ncid")).alias("centroid_id")
         )
