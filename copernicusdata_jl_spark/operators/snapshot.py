@@ -204,7 +204,8 @@ class SnapshotTable:
     # -- commit / read -------------------------------------------------------
 
     def commit(self, df: DataFrame, run_id: str, max_retries: int = 10,
-               replace: bool = False, expected_parent: int | None = None) -> int:
+               replace: bool = False, expected_parent: int | None = None,
+               _delete_keys: tuple[list[str], list[str]] | None = None) -> int:
         """Atomically commit ``df`` as a new snapshot; returns its version.
 
         ``replace=False`` (default): APPEND — the snapshot is the parent's
@@ -268,7 +269,8 @@ class SnapshotTable:
                 "run_id": run_id,
                 "files": files if replace else parent + files,
                 "added": files,
-                "operation": "replace" if replace else "append",
+                "operation": "upsert" if _delete_keys
+                else ("replace" if replace else "append"),
                 # pre-stats manifests (older table versions) simply lack
                 # entries for their files — the pruner keeps those files
                 "file_stats": stats if replace
@@ -282,8 +284,13 @@ class SnapshotTable:
                 else {**parent_doc.get("file_seq", {}),
                       **{f: version for f in files}},
                 # replace folds deletes into the rewritten data (read()
-                # already applied them to the frame being committed)
-                "deletes": [] if replace else parent_doc.get("deletes", []),
+                # already applied them to the frame being committed);
+                # _delete_keys (upsert) adds ONE delete entry at THIS
+                # commit's seq — applying to every prior file, never to
+                # the files committed alongside it (read()'s strict >)
+                "deletes": ([] if replace else parent_doc.get("deletes", []))
+                + ([{"files": _delete_keys[0], "key_cols": _delete_keys[1],
+                     "seq": version}] if _delete_keys else []),
             }
             # union of parent + new columns: files written before a column
             # was added surface it as NULL on read. A LEGACY parent (no
@@ -367,6 +374,48 @@ class SnapshotTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries at {self.path}")
+
+    def upsert(self, increment: DataFrame, key_cols: list[str],
+               run_id: str = "upsert", max_retries: int = 10,
+               expected_parent: int | None = None) -> int:
+        """☆ MERGE INTO analog (latest-wins upsert) as ONE atomic commit:
+        the increment's key set is equality-deleted from every PRIOR data
+        file (merge-on-read — nothing rewritten) and the increment's rows
+        appended, both under the same sequence number. Readers never
+        observe the keys-missing intermediate state a separate
+        delete-then-append pair would expose, and time travel to the
+        parent still sees the old rows.
+
+        The increment must be UNIQUE on ``key_cols`` (validated with one
+        aggregate): duplicate keys would land side-by-side because a
+        delete never applies to its own commit's files (read()'s strict
+        seq comparison — the same rule that makes re-appends after a
+        takedown visible).
+
+        Scale: the delete file is increment-key-sized; read-side cost is
+        the same broadcast anti-join the takedown path already pays, and
+        ``compact()`` folds it away entirely."""
+        missing = [c for c in key_cols if c not in increment.columns]
+        if missing:
+            raise ValueError(f"upsert key column(s) {missing} not in increment")
+        if not increment.groupBy(*key_cols).count().filter(
+            F.col("count") > 1
+        ).isEmpty():
+            raise ValueError(
+                f"increment is not unique on {key_cols}: latest-wins is "
+                f"undefined within one commit — dedup it first"
+            )
+        cid = f"{run_id}-del-{uuid.uuid4().hex[:12]}"
+        kdir = os.path.join(self.path, "data", cid)
+        increment.select(*key_cols).dropDuplicates().write.mode("error").parquet(kdir)
+        kfiles = sorted(
+            f"data/{cid}/{f}" for f in os.listdir(kdir) if f.endswith(".parquet")
+        )
+        return self.commit(
+            increment, run_id, max_retries=max_retries,
+            expected_parent=expected_parent,
+            _delete_keys=(kfiles, list(key_cols)),
+        )
 
     def files_for(self, version: int | None = None,
                   where: list[tuple] | None = None) -> list[str]:

@@ -874,6 +874,7 @@ REGISTRY.update(_R5)
 _DRIVER_PRIORITY: list[str] = [
     # round-5 additions — never driver-checked, newest first
     "snapshot_delete",
+    "snapshot_upsert",
     "gopher_rules",
     "incremental_dedup",
     "pagerank_hosts",

@@ -65,6 +65,46 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# MERGE INTO (latest-wins upsert)
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ MERGE INTO analog (SnapshotTable.upsert): one atomic commit that
+    equality-deletes the increment's keys from prior files and appends
+    the new rows — doc_ids ≡ 0 (mod 5) get their lang rewritten to 'xx'
+    and one brand-new row appears; everything else is untouched."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    new_row = spark.createDataFrame(
+        [(10_000_000, "zz", 0)], "doc_id long, lang string, n_chars long"
+    )
+    inc = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("lang", F.lit("xx"))
+        .unionByName(new_row)
+    )
+    tmp = tempfile.mkdtemp(prefix="snapups-")
+    try:
+        t = SnapshotTable(tmp)
+        t.commit(docs, "base")
+        t.upsert(inc, ["doc_id"], run_id="merge")
+        return t.read(spark).orderBy("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SNAPSHOT_UPSERT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+       n_chars
+FROM documents
+UNION ALL
+SELECT 10000000 AS doc_id, 'zz' AS lang, 0 AS n_chars
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # incremental cross-snapshot dedup
 # ---------------------------------------------------------------------------
 
@@ -300,6 +340,7 @@ FROM nation ORDER BY idx_n
 
 R5_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "snapshot_delete": (q_snapshot_delete, _SNAPSHOT_DELETE_SQL),
+    "snapshot_upsert": (q_snapshot_upsert, _SNAPSHOT_UPSERT_SQL),
     "incremental_dedup": (q_incremental_dedup, _INCREMENTAL_DEDUP_SQL),
     "gopher_rules": (q_gopher_rules, _gopher_rules_sql()),
     "pagerank_hosts": (q_pagerank_hosts, _pagerank_sql()),

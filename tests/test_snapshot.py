@@ -471,3 +471,53 @@ def test_dedup_append_retries_after_concurrent_commit(spark, tmp_path, monkeypat
               final.groupBy("_digest").agg(F.count("*").alias("cnt")).collect()}
     assert all(c == 1 for c in counts.values()), counts
     assert n == 1
+
+
+def test_upsert_latest_wins_single_atomic_commit(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "ups"))
+    base = spark.createDataFrame(
+        [(i, f"old-{i}") for i in range(6)], ["doc_id", "val"]
+    )
+    v0 = t.commit(base, "base")
+    inc = spark.createDataFrame(
+        [(2, "new-2"), (4, "new-4"), (9, "new-9")], ["doc_id", "val"]
+    )
+    v1 = t.upsert(inc, ["doc_id"], run_id="merge")
+    assert v1 == v0 + 1  # ONE commit, no intermediate version
+    got = {r["doc_id"]: r["val"] for r in t.read(spark).collect()}
+    assert got == {0: "old-0", 1: "old-1", 2: "new-2", 3: "old-3",
+                   4: "new-4", 5: "old-5", 9: "new-9"}
+    # time travel to the parent still sees the pre-merge rows
+    old = {r["doc_id"]: r["val"] for r in t.read(spark, version=v0).collect()}
+    assert old[2] == "old-2" and 9 not in old
+    # history records the operation
+    assert t.history()[-1]["operation"] == "upsert"
+    # a later plain append of an upserted key is NOT swallowed (strict seq)
+    t.commit(spark.createDataFrame([(2, "newer-2")], ["doc_id", "val"]), "app")
+    vals2 = sorted(r["val"] for r in
+                   t.read(spark).filter(F.col("doc_id") == 2).collect())
+    assert vals2 == ["new-2", "newer-2"]
+
+
+def test_upsert_refuses_duplicate_keys_and_missing_cols(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "upsbad"))
+    t.commit(spark.createDataFrame([(1, "a")], ["doc_id", "val"]), "base")
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], ["doc_id", "val"])
+    with pytest.raises(ValueError, match="not unique"):
+        t.upsert(dup, ["doc_id"])
+    with pytest.raises(ValueError, match="not in increment"):
+        t.upsert(dup, ["nope"])
+
+
+def test_upsert_folds_under_compaction(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "upsc"))
+    t.commit(spark.createDataFrame([(i, i * 10) for i in range(8)],
+                                   ["doc_id", "x"]), "base")
+    t.upsert(spark.createDataFrame([(3, 999)], ["doc_id", "x"]), ["doc_id"])
+    before = {(r["doc_id"], r["x"]) for r in t.read(spark).collect()}
+    t.compact(spark)
+    after = {(r["doc_id"], r["x"]) for r in t.read(spark).collect()}
+    assert before == after
+    assert not t.manifest(t.latest_version()).get("deletes")
