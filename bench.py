@@ -87,6 +87,8 @@ HEADLINE = [
     # granule is catalog-scale by contract
     "chunk_overlap",
     "dataset_split",
+    "zorder_index",
+    "snapshot_upsert",
 ]
 
 

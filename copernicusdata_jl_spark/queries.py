@@ -881,6 +881,7 @@ _DRIVER_PRIORITY: list[str] = [
     "chunk_overlap",
     "nc3_scan",
     "dataset_split",
+    "zorder_index",
     # 22 entries present since r3/r4 but absent from every driver snapshot
     "blocklist_filter",
     "bpe_encode",

@@ -279,6 +279,55 @@ def _dataset_split_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Z-order spatial clustering key
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def q_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Morton/Z-order index over event cells (operators/cluster.py):
+    the clustering key that makes file min/max stats prune on both
+    spatial axes at once (Delta/Iceberg OPTIMIZE ZORDER BY analog); the
+    pruning-selectivity win is pinned by tests/test_cluster.py."""
+    from .functions import cells
+    from .operators.cluster import zorder_expr
+    from .queries import geotagged_events
+
+    ev = geotagged_events(spark, sf_dir)
+    cell = cells.latlng_to_cell_expr("lat", "lon", 6)
+    x = ((cell % F.lit(cells.R_MULT)) / F.lit(cells.X_MULT)).cast("long")
+    y = (cell % F.lit(cells.X_MULT)).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            x.alias("cx"),
+            y.alias("cy"),
+        )
+        .withColumn("z", zorder_expr(F.col("cx"), F.col("cy"), _Z_BITS))
+        .orderBy("event_id")
+    )
+
+
+def _zorder_index_sql() -> str:
+    from .functions import cells
+    from .operators.cluster import zorder_sql
+    from .queries import GEO_EVENTS_SQL
+
+    cell = cells.latlng_to_cell_sql("lat", "lon", 6)
+    return f"""
+WITH g AS (
+  SELECT event_id,
+         CAST(FLOOR(({cell} % {cells.R_MULT}) / {cells.X_MULT}) AS BIGINT) AS cx,
+         CAST({cell} % {cells.X_MULT} AS BIGINT) AS cy
+  FROM {GEO_EVENTS_SQL} e
+)
+SELECT event_id, cx, cy, {zorder_sql('cx', 'cy', _Z_BITS)} AS z
+FROM g ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # NetCDF-3 round trip through the datatree scan
 # ---------------------------------------------------------------------------
 
@@ -347,4 +396,5 @@ R5_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "chunk_overlap": (q_chunk_overlap, _chunk_overlap_sql()),
     "nc3_scan": (q_nc3_scan, _NC3_SCAN_SQL),
     "dataset_split": (q_dataset_split, _dataset_split_sql()),
+    "zorder_index": (q_zorder_index, _zorder_index_sql()),
 }
