@@ -89,6 +89,8 @@ HEADLINE = [
     "dataset_split",
     "zorder_index",
     "snapshot_upsert",
+    "range_lookup",
+    "priority_sample",
 ]
 
 

@@ -21,7 +21,7 @@ checksums extend its golden-output comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import h56_expr, h56_sql
@@ -118,3 +118,55 @@ def dataset_split_sql(
         parts.append(f"WHEN {m} < {int(cum * _DENOM)} THEN '{lbl}'")
     parts.append(f"ELSE '{labels[-1]}' END AS {out_col}")
     return " ".join(parts)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "pri",
+    fast: bool = False,
+) -> DataFrame:
+    """☆ Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    weighted-without-replacement sample of ``k`` rows (per group) with an
+    unbiased subset-sum estimator — the principled way to downsample a
+    corpus by quality/importance weight while keeping totals estimable.
+
+    Each row draws the deterministic uniform ``u = (h56(salt||key) mod
+    1e6 + 0.5)/1e6`` and priority ``q = w/u``; the k highest priorities
+    win, and ``tau`` (the (k+1)-th priority, 0 when the group has ≤ k
+    rows) yields the Horvitz-Thompson weight estimate ``est_w =
+    max(w, tau)`` — E[Σ est_w over sample] = Σ w over the group, the
+    paper's headline property. Deterministic: re-runs, resumes, and
+    repartitions pick identical rows (same hash-u), and every arithmetic
+    step (division, comparison) is IEEE-exact, so the DuckDB oracle
+    reproduces the sample bit-for-bit — no transcendentals, unlike the
+    exponential-keys A-ES variant.
+
+    Scale: two-phase top-(k+1) per group (operators/knn.topk_per_group)
+    bounds the global sort at (k+1)·partitions rows per group; the tau
+    broadcast is a per-group scalar carried by a window over the already
+    tiny survivor set.
+    """
+    from ..operators.knn import topk_per_group
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    groups = list(group_cols or [])
+    u = (F.pmod(h56_expr(F.col(key_col).cast("string"), salt, fast=fast),
+                F.lit(_DENOM)) + F.lit(0.5)) / F.lit(float(_DENOM))
+    scored = df.withColumn("_q", F.col(weight_col).cast("double") / u)
+    top = topk_per_group(
+        scored, groups or [F.lit(1)],
+        [F.col("_q").desc(), F.col(key_col).asc()], k + 1, rank_col="_rk",
+    )
+    wtau = Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
+    tau = F.max(F.when(F.col("_rk") == k + 1, F.col("_q")).otherwise(F.lit(0.0))).over(wtau)
+    return (
+        top.withColumn("_tau", tau)
+        .filter(F.col("_rk") <= k)
+        .withColumn("est_w", F.greatest(F.col(weight_col).cast("double"), F.col("_tau")))
+        .drop("_q", "_rk", "_tau")
+    )

@@ -107,3 +107,57 @@ def asof_join(
         F.col(f"_m._rts").alias(f"{prefix}{ts_col}"),
         *[F.col(f"_m.{v}").alias(f"{prefix}{v}") for v in value_cols],
     )
+
+
+def range_lookup_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    key_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int = 64,
+    how: str = "inner",
+) -> DataFrame:
+    """☆ Interval-dimension lookup (geo-IP / AS / tariff-band style): join
+    each fact row to the range rows whose half-open ``[lo, hi)`` interval
+    contains its key — WITHOUT a cartesian range join.
+
+    Plan: each range explodes to the fixed-width buckets it overlaps
+    (``sequence(lo div w, (hi-1) div w)`` — dimension-side work, done
+    once); each fact computes its single bucket map-side; the join is a
+    plain EQUALITY join on the bucket (AQE broadcasts dimension-sized
+    range tables), refined by the exact containment filter. At 100 TB the
+    fact side is scanned once with no shuffle beyond the bucket hash; the
+    classic ``ON key >= lo AND key < hi`` formulation degenerates to
+    BroadcastNestedLoopJoin (per-row interval scan) — the difference
+    between O(facts) and O(facts × ranges).
+
+    ``bucket_width`` trades dimension blow-up (wide ranges explode to
+    hi/w buckets) against per-bucket candidate count; size it near the
+    median range width. Overlapping ranges emit one row per match;
+    ``how='left'`` keeps unmatched facts with NULL range columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    buckets = F.sequence(
+        F.floor(lo / w).cast("long"), F.floor((hi - 1) / w).cast("long")
+    )
+    r = ranges.filter(hi > lo).withColumn("_bucket", F.explode(buckets))
+    f = facts.withColumn("_bucket", F.floor(F.col(key_col) / w).cast("long"))
+    matched = (
+        f.join(r, "_bucket")
+        .filter((F.col(key_col) >= lo) & (F.col(key_col) < hi))
+        .drop("_bucket")
+    )
+    if how == "inner":
+        return matched
+    missed = f.join(
+        matched.select(key_col).distinct(), key_col, "left_anti"
+    ).drop("_bucket")
+    for c in ranges.columns:
+        missed = missed.withColumn(c, F.lit(None).cast(dict(ranges.dtypes)[c]))
+    return matched.unionByName(missed)

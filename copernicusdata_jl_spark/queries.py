@@ -882,6 +882,8 @@ _DRIVER_PRIORITY: list[str] = [
     "nc3_scan",
     "dataset_split",
     "zorder_index",
+    "range_lookup",
+    "priority_sample",
     # 22 entries present since r3/r4 but absent from every driver snapshot
     "blocklist_filter",
     "bpe_encode",

@@ -279,6 +279,92 @@ def _dataset_split_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# interval-dimension lookup join
+# ---------------------------------------------------------------------------
+
+_RLJ_WIDTH = 64
+
+
+def q_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Bucketized interval lookup (operators/asof.range_lookup_join,
+    geo-IP/AS style): events keyed by event_id mod 1000 join the nation
+    band table ([k*40, k*40+40) → n_name) via fixed-width bucket equality
+    + exact containment — never a BroadcastNestedLoopJoin interval scan."""
+    from .operators.asof import range_lookup_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 1000).alias("key")
+    )
+    bands = load(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") * 40).alias("lo"),
+        (F.col("n_nationkey") * 40 + 40).alias("hi"),
+        F.col("n_name").alias("band"),
+    )
+    return (
+        range_lookup_join(ev, bands, "key", bucket_width=_RLJ_WIDTH)
+        .select("event_id", "key", "lo", "hi", "band")
+        .orderBy("event_id")
+    )
+
+
+_RANGE_LOOKUP_SQL = """
+SELECT e.event_id, e.event_id % 1000 AS key,
+       n.n_nationkey * 40 AS lo, n.n_nationkey * 40 + 40 AS hi,
+       n.n_name AS band
+FROM events e JOIN nation n
+  ON e.event_id % 1000 >= n.n_nationkey * 40
+ AND e.event_id % 1000 <  n.n_nationkey * 40 + 40
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (weighted without replacement, unbiased estimator)
+# ---------------------------------------------------------------------------
+
+_PRI_K = 10
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Priority sampling (functions/sample.priority_sample — Duffield,
+    Lund & Thorup 2007): k=10 docs per lang weighted by n_chars, with the
+    Horvitz-Thompson ``est_w`` whose per-group sum is unbiased for the
+    group's total weight. Exact-arithmetic scheme (u from the portable
+    hash, priority w/u) — the oracle reproduces the sample bit-for-bit."""
+    from .functions.sample import priority_sample
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+    )
+    out = priority_sample(d, "w", k=_PRI_K, key_col="doc_id", group_cols=["lang"])
+    return out.select(
+        "doc_id", "lang", "w", F.round("est_w", 6).alias("est_w")
+    ).orderBy("lang", "doc_id")
+
+
+def _priority_sample_sql() -> str:
+    from .functions.sample import sample_mod_sql
+
+    m = sample_mod_sql("CAST(doc_id AS VARCHAR)", salt="pri")
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+         CAST(n_chars AS DOUBLE) / ((({m}) + 0.5) / 1000000.0) AS q
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS rk
+  FROM s
+), t AS (
+  SELECT lang, MAX(CASE WHEN rk = {_PRI_K + 1} THEN q ELSE 0.0 END) AS tau
+  FROM r WHERE rk <= {_PRI_K + 1} GROUP BY lang
+)
+SELECT r.doc_id, r.lang, r.w, ROUND(GREATEST(r.w, t.tau), 6) AS est_w
+FROM r JOIN t USING (lang) WHERE rk <= {_PRI_K}
+ORDER BY lang, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-order spatial clustering key
 # ---------------------------------------------------------------------------
 
@@ -397,4 +483,6 @@ R5_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "nc3_scan": (q_nc3_scan, _NC3_SCAN_SQL),
     "dataset_split": (q_dataset_split, _dataset_split_sql()),
     "zorder_index": (q_zorder_index, _zorder_index_sql()),
+    "range_lookup": (q_range_lookup, _RANGE_LOOKUP_SQL),
+    "priority_sample": (q_priority_sample, _priority_sample_sql()),
 }

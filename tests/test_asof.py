@@ -92,3 +92,62 @@ def test_sessionize_boundary_is_strict_greater(spark):
     df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
     out = {r.event_id: r.session_id for r in sessionize(df, ["user_id"], "ts", 1800).collect()}
     assert out == {1: 1, 2: 1}  # exactly gap seconds apart -> same session
+
+
+# ---------------------------------------------------------------------------
+# bucketized interval lookup
+# ---------------------------------------------------------------------------
+
+
+def test_range_lookup_join_exact_containment(spark):
+    from copernicusdata_jl_spark.operators.asof import range_lookup_join
+
+    facts = spark.createDataFrame(
+        [(k,) for k in (0, 5, 63, 64, 100, 199, 200, 999)], "k long"
+    )
+    ranges = spark.createDataFrame(
+        [(0, 64, "a"), (64, 200, "b"), (500, 501, "c")],
+        "lo long, hi long, name string",
+    )
+    got = sorted(
+        (r["k"], r["name"]) for r in range_lookup_join(facts, ranges, "k").collect()
+    )
+    # half-open [lo, hi): 63->a, 64->b, 199->b, 200 and 999 unmatched
+    assert got == [(0, "a"), (5, "a"), (63, "a"), (64, "b"), (100, "b"), (199, "b")]
+
+
+def test_range_lookup_join_left_and_overlaps(spark):
+    from copernicusdata_jl_spark.operators.asof import range_lookup_join
+
+    facts = spark.createDataFrame([(10,), (70,)], "k long")
+    ranges = spark.createDataFrame(
+        [(0, 100, "wide"), (5, 15, "narrow"), (200, 100, "inverted")],
+        "lo long, hi long, name string",
+    )
+    inner = sorted(
+        (r["k"], r["name"]) for r in range_lookup_join(facts, ranges, "k").collect()
+    )
+    # overlapping ranges emit one row per match; inverted range dropped
+    assert inner == [(10, "narrow"), (10, "wide"), (70, "wide")]
+    left = range_lookup_join(
+        spark.createDataFrame([(10,), (9999,)], "k long"), ranges, "k", how="left"
+    )
+    got = sorted((r["k"], r["name"]) for r in left.collect())
+    assert got == [(10, "narrow"), (10, "wide"), (9999, None)]
+
+
+def test_range_lookup_join_bucket_width_invariance(spark):
+    """Result is independent of bucket_width (a pure performance knob)."""
+    from copernicusdata_jl_spark.operators.asof import range_lookup_join
+
+    facts = spark.range(0, 500).withColumnRenamed("id", "k")
+    ranges = spark.createDataFrame(
+        [(i * 37, i * 37 + 21, f"r{i}") for i in range(12)],
+        "lo long, hi long, name string",
+    )
+    outs = [
+        sorted((r["k"], r["name"]) for r in
+               range_lookup_join(facts, ranges, "k", bucket_width=w).collect())
+        for w in (1, 8, 64, 1024)
+    ]
+    assert outs[0] == outs[1] == outs[2] == outs[3] and len(outs[0]) > 0
