@@ -91,6 +91,7 @@ HEADLINE = [
     "snapshot_upsert",
     "range_lookup",
     "priority_sample",
+    "line_dedup",
 ]
 
 

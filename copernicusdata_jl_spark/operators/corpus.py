@@ -896,3 +896,62 @@ SELECT {id_col}, CAST(start AS BIGINT) AS start,
        array_to_string(list_slice(w, start + 1, start + {chunk}), ' ') AS chunk_text
 FROM s
 """
+
+
+def line_dedup(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+    hashed: bool = False,
+) -> DataFrame:
+    """☆ Global line-level dedup (the C4 recipe, Raffel et al. 2020 §2.2:
+    'we discarded all but one of any three-sentence span occurring more
+    than once', applied at line granularity): every exact duplicate LINE
+    across the whole corpus keeps only its FIRST occurrence (minimum
+    (id, pos) — deterministic, partitioning-invariant) and each document
+    is rebuilt from its surviving lines. Returns ``(id, clean_text,
+    n_removed)``.
+
+    ``min_chars`` exempts short lines (blank separators and one-word
+    bullets would otherwise dedup across the entire corpus); ``hashed``
+    shuffles 8-byte ``xxhash64(line)`` keys instead of line bytes — the
+    100 TB flavor (same survivors absent hash collisions; equality with
+    the string-keyed flavor is pinned by test).
+
+    Scale: the winner election groups (key, id, pos) triples only; the
+    loser list joins back as (id, pos) int pairs; the rebuild is one
+    map-side JVM index-filter over a split-once line array (materialized
+    in its own projection — the SPARK-35410 rule, see
+    ``remove_dup_spans``). Text bytes never ride a shuffle key when
+    ``hashed=True``.
+    """
+    lines = corpus.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    elig = lines.filter(F.length("line") >= min_chars)
+    key = F.xxhash64("line") if hashed else F.col("line")
+    elig = elig.withColumn("_k", key)
+    win = (
+        elig.groupBy("_k")
+        .agg(F.min(F.struct(id_col, "pos")).alias("_w"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    losers = (
+        elig.join(win, "_k")
+        .filter(
+            ~((F.col(id_col) == F.col(f"_w.{id_col}")) & (F.col("pos") == F.col("_w.pos")))
+        )
+        .select(id_col, "pos")
+    )
+    drops = losers.groupBy(id_col).agg(F.collect_set("pos").alias("_drop"))
+    base = corpus.join(drops, id_col, "left").withColumns({
+        "_lines": F.split(F.col(text_col), "\n"),
+        "_dropset": F.coalesce(F.col("_drop"), F.array().cast("array<int>")),
+    })
+    kept = F.filter("_lines", lambda line, i: ~F.array_contains(F.col("_dropset"), i))
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size("_dropset").cast("long").alias("n_removed"),
+    )

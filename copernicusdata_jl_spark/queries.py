@@ -884,6 +884,7 @@ _DRIVER_PRIORITY: list[str] = [
     "zorder_index",
     "range_lookup",
     "priority_sample",
+    "line_dedup",
     # 22 entries present since r3/r4 but absent from every driver snapshot
     "blocklist_filter",
     "bpe_encode",

@@ -279,6 +279,58 @@ def _dataset_split_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# C4-style global line dedup
+# ---------------------------------------------------------------------------
+
+# the fixture corpus is single-line; fold it to 4-word lines with a regex
+# that is verbatim-portable between Java and DuckDB RE2-subset engines
+_LINE_FOLD = r"((\S+ ){3}\S+) "
+_LINE_MIN_CHARS = 2
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ C4 line-level dedup (operators/corpus.line_dedup, Raffel et al.
+    2020 §2.2 at line granularity): exact duplicate lines keep only their
+    first (min (doc_id, pos)) occurrence corpus-wide; docs are rebuilt
+    from surviving lines. The hashed (xxhash64-keyed) flavor's equality
+    is pinned by pytest."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", _LINE_FOLD, "$1\n").alias("text")
+    )
+    return C.line_dedup(d, min_chars=_LINE_MIN_CHARS).orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '{_LINE_FOLD}', '\\1' || chr(10), 'g'),
+                      chr(10)) AS ll
+  FROM documents
+), l AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ll[CAST(u.i AS INT)] AS line
+  FROM t, unnest(range(1, len(ll) + 1)) AS u(i)
+), losers AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY line) AS n
+    FROM l WHERE length(line) >= {_LINE_MIN_CHARS})
+  WHERE rn > 1
+), keep AS (
+  SELECT l.doc_id, l.pos, l.line FROM l
+  WHERE NOT EXISTS (SELECT 1 FROM losers x
+                    WHERE x.doc_id = l.doc_id AND x.pos = l.pos)
+)
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(k.line, chr(10) ORDER BY k.pos)
+                 FROM keep k WHERE k.doc_id = d.doc_id), '') AS clean_text,
+       CAST((SELECT count(*) FROM losers x WHERE x.doc_id = d.doc_id)
+            AS BIGINT) AS n_removed
+FROM documents d ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # interval-dimension lookup join
 # ---------------------------------------------------------------------------
 
@@ -485,4 +537,5 @@ R5_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "zorder_index": (q_zorder_index, _zorder_index_sql()),
     "range_lookup": (q_range_lookup, _RANGE_LOOKUP_SQL),
     "priority_sample": (q_priority_sample, _priority_sample_sql()),
+    "line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
 }

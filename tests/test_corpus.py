@@ -545,3 +545,55 @@ def test_chunk_matches_duckdb_twin(spark):
     con.register("documents", d.toPandas())
     want = sorted(map(tuple, con.execute(chunk_documents_sql(chunk=5, stride=2)).fetchall()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C4 line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from copernicusdata_jl_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared line one\nunique a"),
+            (2, "shared line one\ngamma\nshared line one"),
+            (3, "x\nshared line one\nunique c"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in line_dedup(docs, min_chars=2).collect()}
+    # doc 1 holds the first occurrence; within-doc repeats also dedup;
+    # "x" is below min_chars and exempt
+    assert got[1] == ("alpha beta\nshared line one\nunique a", 0)
+    assert got[2] == ("gamma", 2)
+    assert got[3] == ("x\nunique c", 1)
+
+
+def test_line_dedup_hashed_matches_string_keys(spark):
+    from copernicusdata_jl_spark.operators.corpus import line_dedup
+    from copernicusdata_jl_spark.queries_ext import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "text", F.regexp_replace("text", r"((\S+ ){3}\S+) ", "$1\n")
+    )
+    a = sorted(map(tuple, line_dedup(d, min_chars=2).collect()))
+    b = sorted(map(tuple, line_dedup(d, min_chars=2, hashed=True).collect()))
+    assert a == b and any(r[2] > 0 for r in a)
+
+
+def test_line_dedup_partitioning_invariant(spark):
+    from copernicusdata_jl_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"common header line\nbody {i} text here") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, line_dedup(docs).collect()))
+    b = sorted(map(tuple, line_dedup(docs.repartition(7)).collect()))
+    assert a == b
+    # exactly one survivor of the common header (doc 0, the min id)
+    keepers = [r for r in a if "common header line" in r[1]]
+    assert len(keepers) == 1 and keepers[0][0] == 0

@@ -289,3 +289,27 @@ def test_pagerank_iteration_plan(spark, monkeypatch):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the dangling scalar rides a broadcast nested-loop join (one row)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_range_lookup_is_equality_join_not_nested_loop(spark):
+    """The raw 'key BETWEEN lo AND hi' formulation plans as a
+    BroadcastNestedLoopJoin (per-fact interval scan — O(facts x ranges));
+    the bucketized operator must plan a HASH join on the bucket key."""
+    from copernicusdata_jl_spark.operators.asof import range_lookup_join
+
+    facts = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", (F.col("event_id") % 1000).alias("key")
+    )
+    ranges = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        (F.col("n_nationkey") * 40).alias("lo"),
+        (F.col("n_nationkey") * 40 + 40).alias("hi"),
+        F.col("n_name").alias("band"),
+    )
+    plan = plan_of(range_lookup_join(facts, ranges, "key"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled — both equality
+    # the naive formulation really does degenerate (the foil)
+    naive = facts.join(
+        ranges, (F.col("key") >= F.col("lo")) & (F.col("key") < F.col("hi"))
+    )
+    assert "BroadcastNestedLoopJoin" in plan_of(naive)
