@@ -92,6 +92,8 @@ HEADLINE = [
     "range_lookup",
     "priority_sample",
     "line_dedup",
+    "build_postings",
+    "cooccur_pmi",
 ]
 
 

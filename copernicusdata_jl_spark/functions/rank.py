@@ -109,3 +109,71 @@ base AS (SELECT doc_id, len(_toks) AS _dl, {tf_cols} FROM toks),
 stats AS (SELECT COUNT(*) AS _n, SUM(_dl) AS _sumdl, {df_cols} FROM base)
 SELECT doc_id, round({score}, 6) AS bm25 FROM base CROSS JOIN stats
 """
+
+
+def build_postings(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """☆ Inverted-index construction — the retrieval sidecar BM25 scores
+    against at interactive latency: one row per term with ``df`` (document
+    frequency), ``cf`` (corpus frequency), and the posting list serialized
+    as ``"doc:tf"`` tokens sorted by doc id (a flat string so the driver
+    gate hashes it portably; a production sink would keep the struct
+    array).
+
+    ``max_df_ratio`` drops terms appearing in more than that fraction of
+    documents — the standard stopword cut that also bounds the worst
+    posting list: at 10^12 docs the list for "the" is the corpus itself,
+    and no retrieval system materializes it.
+
+    Scale: explode → (term, doc) partial-counted map-side → one groupBy
+    term whose shuffle carries (term, doc, tf) triples; the per-term
+    collect is bounded by ``max_df_ratio × N`` BY CONSTRUCTION, never by
+    luck. N rides in as a broadcast scalar (one-row aggregate).
+    """
+    if not 0.0 < max_df_ratio <= 1.0:
+        raise ValueError("max_df_ratio must be in (0, 1]")
+    n_docs = corpus.select(F.countDistinct(id_col).alias("_n"))
+    tf = (
+        corpus.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    posts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(id_col, "tf"))),
+                lambda s: F.concat_ws(":", s[id_col].cast("string"), s["tf"].cast("string")),
+            ),
+            " ",
+        ).alias("postings"),
+    )
+    return posts.crossJoin(F.broadcast(n_docs)).filter(
+        F.col("df") <= F.col("_n") * max_df_ratio
+    ).drop("_n")
+
+
+def build_postings_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float = 1.0,
+) -> str:
+    """DuckDB twin of ``build_postings`` (identical serialization)."""
+    return f"""
+WITH tf AS (
+  SELECT term, {id_col}, COUNT(*) AS tf
+  FROM (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term FROM {table}) t
+  GROUP BY term, {id_col}
+), n AS (SELECT COUNT(DISTINCT {id_col}) AS n_docs FROM {table})
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       string_agg(CAST({id_col} AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ' ' ORDER BY {id_col}) AS postings
+FROM tf GROUP BY term
+HAVING COUNT(*) <= (SELECT n_docs FROM n) * {max_df_ratio}
+"""

@@ -955,3 +955,70 @@ def line_dedup(
         F.array_join(kept, "\n").alias("clean_text"),
         F.size("_dropset").cast("long").alias("n_removed"),
     )
+
+
+def cooccur_pmi(
+    corpus: DataFrame,
+    window: int = 2,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """☆ Word co-occurrence with pointwise-mutual-information RATIO
+    (Church & Hanks 1990) — the embedding-prep statistic (word2vec/GloVe
+    both train on exactly these windowed pair counts). For the unordered
+    pair (a, b) within ``window`` tokens:
+
+        pmi_ratio = n_ab * n_pairs / (n_a * n_b)
+
+    (the exact argument of the log; emitting the ratio instead of
+    ``log(...)`` keeps every arithmetic step integer-derived division, so
+    the DuckDB oracle matches bit-for-bit — transcendental libm calls are
+    the one operation two engines may round differently). Pairs are
+    canonically ordered (a <= b); marginals count windowed pair slots,
+    making Σ P(a,b) a true distribution.
+
+    Scale: pair generation is one JVM flatten over the split-once token
+    array (no self-join, no explode-then-rejoin — the window is a
+    compile-time list of ``zip_with`` offsets); one groupBy for pair
+    counts, one for marginals, both map-side partial. ``min_count``
+    drops the hapax tail before the join-back.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    pair_arrays = [
+        F.zip_with(
+            toks,
+            F.slice(toks, d + 1, F.greatest(F.size(toks) - d, F.lit(0))),
+            # zip_with pads the shorter side with NULL; concat_ws would
+            # silently swallow it into a one-word "pair", so emit NULL
+            # explicitly for the padded tail slots
+            lambda a, b: F.when(b.isNull(), F.lit(None)).otherwise(
+                F.when(a <= b, F.concat_ws(" ", a, b)).otherwise(F.concat_ws(" ", b, a))
+            ),
+        )
+        for d in range(1, window + 1)
+    ]
+    pairs = corpus.select(
+        F.explode(F.concat(*pair_arrays)).alias("pair")
+    ).filter(F.col("pair").isNotNull())
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_ab"))
+    total = pairs.select(F.count(F.lit(1)).alias("_total"))
+    # marginal: how many pair slots each word participates in
+    marg = (
+        pairs.select(F.explode(F.split("pair", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    out = (
+        counts.filter(F.col("n_ab") >= min_count)
+        .withColumn("a", F.split("pair", " ")[0])
+        .withColumn("b", F.split("pair", " ")[1])
+        .join(F.broadcast(marg.withColumnRenamed("w", "a").withColumnRenamed("n_w", "n_a")), "a")
+        .join(F.broadcast(marg.withColumnRenamed("w", "b").withColumnRenamed("n_w", "n_b")), "b")
+        .crossJoin(F.broadcast(total))
+    )
+    ratio = (F.col("n_ab") * F.col("_total")) / (F.col("n_a") * F.col("n_b"))
+    return out.select(
+        "a", "b", "n_ab", "n_a", "n_b", F.round(ratio, 6).alias("pmi_ratio")
+    )

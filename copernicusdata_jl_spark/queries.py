@@ -885,6 +885,8 @@ _DRIVER_PRIORITY: list[str] = [
     "range_lookup",
     "priority_sample",
     "line_dedup",
+    "build_postings",
+    "cooccur_pmi",
     # 22 entries present since r3/r4 but absent from every driver snapshot
     "blocklist_filter",
     "bpe_encode",

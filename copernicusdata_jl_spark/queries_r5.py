@@ -279,6 +279,68 @@ def _dataset_split_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# inverted-index postings
+# ---------------------------------------------------------------------------
+
+_POST_MAX_DF = 0.5
+
+
+def q_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Inverted-index construction (functions/rank.build_postings): per
+    term df/cf + the doc:tf posting list sorted by doc id, with the
+    standard max-df stopword cut bounding the worst list by construction."""
+    from .functions.rank import build_postings
+
+    d = load(spark, sf_dir, "documents")
+    return build_postings(d, max_df_ratio=_POST_MAX_DF).orderBy("term")
+
+
+def _build_postings_sql() -> str:
+    from .functions.rank import build_postings_sql
+
+    return build_postings_sql(max_df_ratio=_POST_MAX_DF) + " ORDER BY term"
+
+
+# ---------------------------------------------------------------------------
+# windowed co-occurrence PMI
+# ---------------------------------------------------------------------------
+
+_PMI_WINDOW, _PMI_MIN = 2, 5
+
+
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Windowed co-occurrence with the PMI ratio (operators/corpus.
+    cooccur_pmi, Church & Hanks 1990) — the word2vec/GloVe training
+    statistic; ratio form keeps the oracle bit-exact (no libm log)."""
+    d = load(spark, sf_dir, "documents")
+    return C.cooccur_pmi(d, window=_PMI_WINDOW, min_count=_PMI_MIN).orderBy("a", "b")
+
+
+def _cooccur_pmi_sql(window: int = _PMI_WINDOW, min_count: int = _PMI_MIN) -> str:
+    per_d = ", ".join(
+        f"list_transform(range(1, len(w) + 1 - {d}), "
+        f"i -> CASE WHEN w[i] <= w[i+{d}] THEN w[i] || ' ' || w[i+{d}] "
+        f"ELSE w[i+{d}] || ' ' || w[i] END)"
+        for d in range(1, window + 1)
+    )
+    return f"""
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+p AS (SELECT unnest(flatten([{per_d}])) AS pair FROM t),
+c AS (SELECT pair, COUNT(*) AS n_ab FROM p GROUP BY pair),
+tot AS (SELECT COUNT(*) AS total FROM p),
+m AS (SELECT wd, COUNT(*) AS n_w
+      FROM (SELECT unnest(string_split(pair, ' ')) AS wd FROM p) GROUP BY wd)
+SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+       n_ab, ma.n_w AS n_a, mb.n_w AS n_b,
+       ROUND((n_ab * (SELECT total FROM tot)) / (ma.n_w * mb.n_w), 6) AS pmi_ratio
+FROM c
+JOIN m ma ON ma.wd = split_part(pair, ' ', 1)
+JOIN m mb ON mb.wd = split_part(pair, ' ', 2)
+WHERE n_ab >= {min_count} ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
 # C4-style global line dedup
 # ---------------------------------------------------------------------------
 
@@ -538,4 +600,6 @@ R5_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "range_lookup": (q_range_lookup, _RANGE_LOOKUP_SQL),
     "priority_sample": (q_priority_sample, _priority_sample_sql()),
     "line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
+    "build_postings": (q_build_postings, _build_postings_sql()),
+    "cooccur_pmi": (q_cooccur_pmi, _cooccur_pmi_sql()),
 }

@@ -597,3 +597,32 @@ def test_line_dedup_partitioning_invariant(spark):
     # exactly one survivor of the common header (doc 0, the min id)
     keepers = [r for r in a if "common header line" in r[1]]
     assert len(keepers) == 1 and keepers[0][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence PMI
+# ---------------------------------------------------------------------------
+
+
+def test_cooccur_pmi_hand_checked(spark):
+    from copernicusdata_jl_spark.operators.corpus import cooccur_pmi
+
+    d = spark.createDataFrame([(1, "a b c a b"), (2, "a b x")], ["doc_id", "text"])
+    got = {(r["a"], r["b"]): (r["n_ab"], r["n_a"], r["n_b"], r["pmi_ratio"])
+           for r in cooccur_pmi(d, window=2, min_count=1).collect()}
+    # window-2 slots: doc1 has 4+3, doc2 has 2+1 -> total 10
+    # (a,b) co-occurs 4x; each word's marginal counts its slot memberships
+    assert got[("a", "b")] == (4, 7, 7, round(4 * 10 / 49, 6))
+    assert got[("a", "c")][0] == 2
+    # pairs are canonically ordered: no (b, a) key exists
+    assert all(a <= b for a, b in got)
+
+
+def test_cooccur_pmi_no_phantom_pairs_from_padding(spark):
+    from copernicusdata_jl_spark.operators.corpus import cooccur_pmi
+
+    # a 2-token doc under window=3: the padded zip_with tail must not
+    # produce one-word pairs (the concat_ws-swallows-NULL trap)
+    d = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    rows = cooccur_pmi(d, window=3, min_count=1).collect()
+    assert [(r["a"], r["b"], r["n_ab"]) for r in rows] == [("x", "y", 1)]

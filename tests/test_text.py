@@ -171,3 +171,36 @@ def test_bm25_ranking_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+# ---------------------------------------------------------------------------
+
+
+def test_build_postings_counts_and_order(spark):
+    from copernicusdata_jl_spark.functions.rank import build_postings
+
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c c c")], ["doc_id", "text"]
+    )
+    got = {r["term"]: (r["df"], r["cf"], r["postings"])
+           for r in build_postings(d).collect()}
+    assert got["a"] == (1, 2, "1:2")
+    assert got["b"] == (2, 2, "1:1 2:1")
+    assert got["c"] == (2, 4, "2:1 3:3")
+
+
+def test_build_postings_max_df_cut(spark):
+    import pytest
+
+    from copernicusdata_jl_spark.functions.rank import build_postings
+
+    d = spark.createDataFrame(
+        [(i, "stop word" + (" rare" if i == 0 else "")) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    got = {r["term"] for r in build_postings(d, max_df_ratio=0.5).collect()}
+    assert got == {"rare"}  # 'stop'/'word' appear in all 10 docs -> cut
+    with pytest.raises(ValueError):
+        build_postings(d, max_df_ratio=0.0)
