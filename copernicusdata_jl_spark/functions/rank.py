@@ -129,10 +129,14 @@ def build_postings(
     posting list: at 10^12 docs the list for "the" is the corpus itself,
     and no retrieval system materializes it.
 
-    Scale: explode → (term, doc) partial-counted map-side → one groupBy
-    term whose shuffle carries (term, doc, tf) triples; the per-term
-    collect is bounded by ``max_df_ratio × N`` BY CONSTRUCTION, never by
-    luck. N rides in as a broadcast scalar (one-row aggregate).
+    Scale: explode → (term, doc) partial-counted map-side → a cheap
+    df-only pre-aggregate decides which terms SURVIVE the cut, and only
+    survivors' (term, doc, tf) triples reach the collect (left-semi prune
+    BELOW the posting aggregation) — so the worst aggregation buffer is
+    bounded by ``max_df_ratio × N`` BY CONSTRUCTION: the "the" list is
+    never materialized, not even transiently (r5 review: a post-filter on
+    the aggregate output would build it first and discard it after). N
+    rides in as a broadcast scalar (one-row aggregate).
     """
     if not 0.0 < max_df_ratio <= 1.0:
         raise ValueError("max_df_ratio must be in (0, 1]")
@@ -142,7 +146,16 @@ def build_postings(
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    posts = tf.groupBy("term").agg(
+    if max_df_ratio < 1.0:
+        keep = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") <= F.col("_n") * max_df_ratio)
+            .select("term")
+        )
+        tf = tf.join(keep, "term", "left_semi")
+    return tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("cf"),
         F.array_join(
@@ -153,9 +166,6 @@ def build_postings(
             " ",
         ).alias("postings"),
     )
-    return posts.crossJoin(F.broadcast(n_docs)).filter(
-        F.col("df") <= F.col("_n") * max_df_ratio
-    ).drop("_n")
 
 
 def build_postings_sql(

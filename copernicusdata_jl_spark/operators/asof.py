@@ -143,21 +143,30 @@ def range_lookup_join(
     if w <= 0:
         raise ValueError("bucket_width must be positive")
     lo, hi = F.col(lo_col), F.col(hi_col)
-    buckets = F.sequence(
-        F.floor(lo / w).cast("long"), F.floor((hi - 1) / w).cast("long")
+    # INTEGER division for the bucket: float division (`x / w` then floor)
+    # loses exactness past 2^53 and can put a 64-bit key in a bucket the
+    # range's sequence never emitted — silently dropped matches (r5
+    # review). `div` truncates toward zero, which is monotone in the
+    # numerator, so every key in [lo, hi) lands within
+    # [lo div w, (hi-1) div w] for any sign.
+    r = ranges.filter(hi > lo).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({lo_col} AS BIGINT) div {w}"),
+                F.expr(f"(CAST({hi_col} AS BIGINT) - 1) div {w}"),
+            )
+        ),
     )
-    r = ranges.filter(hi > lo).withColumn("_bucket", F.explode(buckets))
-    f = facts.withColumn("_bucket", F.floor(F.col(key_col) / w).cast("long"))
-    matched = (
-        f.join(r, "_bucket")
-        .filter((F.col(key_col) >= lo) & (F.col(key_col) < hi))
-        .drop("_bucket")
+    f = facts.withColumn("_fb", F.expr(f"CAST({key_col} AS BIGINT) div {w}"))
+    cond = (
+        (F.col("_fb") == F.col("_bucket"))
+        & (F.col(key_col) >= lo)
+        & (F.col(key_col) < hi)
     )
-    if how == "inner":
-        return matched
-    missed = f.join(
-        matched.select(key_col).distinct(), key_col, "left_anti"
-    ).drop("_bucket")
-    for c in ranges.columns:
-        missed = missed.withColumn(c, F.lit(None).cast(dict(ranges.dtypes)[c]))
-    return matched.unionByName(missed)
+    # one pass for both flavors: the containment predicate rides the
+    # equality join as a join filter (still a hash join — plan-gated);
+    # LeftOuter NULL-pads unmatched facts natively instead of a second
+    # join + distinct + anti-join (r5 review)
+    joined = f.join(r, cond, how).drop("_fb", "_bucket")
+    return joined

@@ -30,6 +30,11 @@ def zorder_expr(x: Column, y: Column, bits: int = 16) -> Column:
     overflow-safe)."""
     if not 1 <= bits <= 31:
         raise ValueError("bits must be in [1, 31]")
+    # cast to long FIRST: shiftleft on an IntegerType column wraps at 32
+    # bits (y's bit 15 would land on the int sign bit at the default
+    # bits=16, and shifts >= 32 evaluate mod 32 — silently colliding
+    # codes, r5 review)
+    x, y = x.cast("long"), y.cast("long")
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
@@ -38,11 +43,13 @@ def zorder_expr(x: Column, y: Column, bits: int = 16) -> Column:
 
 
 def zorder_sql(x: str, y: str, bits: int = 16) -> str:
-    """DuckDB twin of ``zorder_expr`` — identical bit arithmetic."""
+    """DuckDB twin of ``zorder_expr`` — identical bit arithmetic (inputs
+    widened to BIGINT for the same 32-bit-wrap reason as the Spark side)."""
+    xs, ys = f"CAST({x} AS BIGINT)", f"CAST({y} AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({xs} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ys} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
 
 

@@ -1003,12 +1003,17 @@ def cooccur_pmi(
         F.explode(F.concat(*pair_arrays)).alias("pair")
     ).filter(F.col("pair").isNotNull())
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_ab"))
-    total = pairs.select(F.count(F.lit(1)).alias("_total"))
-    # marginal: how many pair slots each word participates in
+    # total and the marginals both derive from the VOCABULARY-SIZED pair
+    # counts, not from re-scanning the corpus: the three consumers then
+    # share one identical aggregate subtree, which Spark plans as a single
+    # exchange (ReusedExchange) — one corpus pass total, not three (r5
+    # review). The weighted word explode is exact: an (a, a) self-pair
+    # splits to two 'a' slots, matching the unweighted definition.
+    total = counts.select(F.sum("n_ab").alias("_total"))
     marg = (
-        pairs.select(F.explode(F.split("pair", " ")).alias("w"))
+        counts.select(F.explode(F.split("pair", " ")).alias("w"), "n_ab")
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_w"))
+        .agg(F.sum("n_ab").alias("n_w"))
     )
     out = (
         counts.filter(F.col("n_ab") >= min_count)

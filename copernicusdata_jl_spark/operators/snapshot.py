@@ -139,6 +139,25 @@ def _residual(where: list[tuple]) -> Column:
     return cond
 
 
+def digest_first_wins(docs: "DataFrame", text_col: str = "text",
+                      order_col: str = "doc_id",
+                      digest_col: str = "_digest") -> "DataFrame":
+    """Keep the min-``order_col`` row per content digest, digest attached.
+    The ONE definition of the table's content-dedup rule — shared by
+    ``SnapshotTable.dedup_append`` and the streaming ingest's batch twin
+    (streaming/ingest.batch_dedup_reference), so a digest or tie-break
+    change can never silently desync the parity tests (r5 review)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(digest_col).orderBy(order_col)
+    return (
+        docs.withColumn(digest_col, F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 class CommitConflict(RuntimeError):
     """Another committer published this version first (retryable)."""
 
@@ -398,6 +417,14 @@ class SnapshotTable:
         missing = [c for c in key_cols if c not in increment.columns]
         if missing:
             raise ValueError(f"upsert key column(s) {missing} not in increment")
+        # materialize the increment ONCE: the uniqueness check, the key
+        # file, and the data file must all see the SAME rows — a
+        # non-deterministic increment plan (sampling, timestamps,
+        # shuffle-nondeterminism) evaluated three times could commit a
+        # delete-key file that disagrees with the committed rows (r5
+        # review). localCheckpoint pins the rows; increments are
+        # increment-sized by definition.
+        increment = increment.localCheckpoint(eager=True)
         if not increment.groupBy(*key_cols).count().filter(
             F.col("count") > 1
         ).isEmpty():
@@ -615,12 +642,7 @@ class SnapshotTable:
         (r5 review: a plain append would let two racing increments both
         pass the absence check and both land). On CommitConflict the whole
         read→dedup→commit is retried against the new latest snapshot."""
-        inc0 = increment.withColumn(digest_col, F.md5(F.col(text_col)))
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(digest_col).orderBy(order_col)
-        inc0 = (inc0.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
+        inc0 = digest_first_wins(increment, text_col, order_col, digest_col)
         for _ in range(5):
             base_v = self.latest_version()
             inc = inc0

@@ -75,8 +75,11 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the new rows — doc_ids ≡ 0 (mod 5) get their lang rewritten to 'xx'
     and one brand-new row appears; everything else is untouched."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # negative sentinel: can never collide with a fixture doc_id at any
+    # scale factor (a positive sentinel divisible by 5 would union with
+    # the rewritten increment and trip upsert's uniqueness check)
     new_row = spark.createDataFrame(
-        [(10_000_000, "zz", 0)], "doc_id long, lang string, n_chars long"
+        [(-1, "zz", 0)], "doc_id long, lang string, n_chars long"
     )
     inc = (
         docs.filter(F.col("doc_id") % 5 == 0)
@@ -99,7 +102,7 @@ SELECT doc_id,
        n_chars
 FROM documents
 UNION ALL
-SELECT 10000000 AS doc_id, 'zz' AS lang, 0 AS n_chars
+SELECT -1 AS doc_id, 'zz' AS lang, 0 AS n_chars
 ORDER BY doc_id
 """
 

@@ -71,14 +71,9 @@ def batch_dedup_reference(docs: DataFrame, text_col: str = "text",
                           order_col: str = "doc_id") -> DataFrame:
     """The one-shot batch twin the drained table must equal: keep the
     min-``order_col`` row per content digest (the digest column rides
-    along, as the stored table's does)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    along, as the stored table's does). Delegates to the SAME projection
+    dedup_append uses — one definition of the dedup rule, so the parity
+    tests can never assert against a stale twin."""
+    from ..operators.snapshot import digest_first_wins
 
-    w = Window.partitionBy("_digest").orderBy(order_col)
-    return (
-        docs.withColumn("_digest", F.md5(F.col(text_col)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return digest_first_wins(docs, text_col, order_col)

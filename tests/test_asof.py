@@ -151,3 +151,21 @@ def test_range_lookup_join_bucket_width_invariance(spark):
         for w in (1, 8, 64, 1024)
     ]
     assert outs[0] == outs[1] == outs[2] == outs[3] and len(outs[0]) > 0
+
+
+def test_range_lookup_exact_past_double_precision(spark):
+    """r5 review: bucket math must be integer division — float `key/w`
+    loses exactness past 2^53 and silently drops matches."""
+    from copernicusdata_jl_spark.operators.asof import range_lookup_join
+
+    base = 1 << 53
+    facts = spark.createDataFrame(
+        [(base,), (base + 1,), (base + 63,), (base + 64,)], "k long"
+    )
+    ranges = spark.createDataFrame(
+        [(base, base + 64, "hi-range")], "lo long, hi long, name string"
+    )
+    got = sorted(
+        (r["k"], r["name"]) for r in range_lookup_join(facts, ranges, "k").collect()
+    )
+    assert got == [(base, "hi-range"), (base + 1, "hi-range"), (base + 63, "hi-range")]

@@ -79,3 +79,11 @@ def test_zorder_layout_prunes_on_both_axes(spark, tmp_path):
     rows_z = sorted(r["payload"] for r in t_z.read(spark, where=where).collect())
     rows_x = sorted(r["payload"] for r in t_x.read(spark, where=where).collect())
     assert rows_z == rows_x and len(rows_z) == 16 * 16
+
+
+def test_zorder_integer_typed_columns_do_not_wrap(spark):
+    """r5 review: IntegerType inputs must widen to long BEFORE shifting —
+    bit 15 of y lands on the int sign bit at the default bits=16."""
+    d = spark.createDataFrame([(65535, 65535)], "x int, y int")
+    z = d.select(zorder_expr(F.col("x"), F.col("y")).alias("z")).first()["z"]
+    assert z == zorder_py(65535, 65535) and z > 0
