@@ -94,6 +94,8 @@ HEADLINE = [
     "line_dedup",
     "build_postings",
     "cooccur_pmi",
+    "text_normalize",
+    "ngram_containment",
 ]
 
 

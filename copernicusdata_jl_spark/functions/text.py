@@ -437,3 +437,43 @@ def expected_text_rich(i: int) -> str:
     """Independent golden derivation for render_html_rich."""
     paras = " ".join(_sentence(i, k) for k in range(40 + i % 20))
     return f"doc {i} home | about Document {i} {paras} terms & privacy {i % 100}"
+
+
+# punctuation folds: curly quotes -> straight, en/em dash -> '-', NBSP
+# and tab -> space, ellipsis codepoint expanded. Chained replaces, NOT
+# `translate`: DuckDB's translate walks BYTES for multi-byte codepoints
+# (Postgres heritage), silently corrupting UTF-8 — verified, not assumed.
+_NORM_MAP = [
+    ("\u2018", "'"), ("\u2019", "'"), ("\u201c", '"'), ("\u201d", '"'),
+    ("\u2013", "-"), ("\u2014", "-"), ("\u00a0", " "), ("\t", " "),
+    ("\u2026", "..."),
+]
+
+
+def normalize_text_expr(text) -> "Column":
+    """\u2606 Pre-tokenization text normalization (the cleanup every web
+    pipeline runs between extraction and hygiene): fold curly quotes /
+    dashes / NBSP to ASCII, expand the ellipsis codepoint, strip C0
+    control characters (newline kept — line structure feeds line_dedup
+    and the Gopher line rules), collapse space runs, trim.
+
+    Pure Catalyst: chained codepoint replaces + two ``regexp_replace`` —
+    no Python, whole-stage codegen, identical DuckDB twin
+    (``normalize_text_sql``)."""
+    t = text
+    for src, dst in _NORM_MAP:
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    t = F.regexp_replace(t, "  +", " ")
+    return F.trim(t)
+
+
+def normalize_text_sql(text_expr: str) -> str:
+    """DuckDB twin of ``normalize_text_expr`` (identical pass order)."""
+    t = text_expr
+    for src, dst in _NORM_MAP:
+        s, d2 = src.replace("'", "''"), dst.replace("'", "''")
+        t = f"replace({t}, '{s}', '{d2}')"
+    t = f"regexp_replace({t}, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')"
+    t = f"regexp_replace({t}, '  +', ' ', 'g')"
+    return f"trim({t})"

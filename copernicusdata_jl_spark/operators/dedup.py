@@ -637,3 +637,41 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "cos_sim")
     )
+
+
+def containment_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+    prune: bool = True,
+) -> DataFrame:
+    """☆ One-sided n-gram CONTAINMENT for candidate pairs → (id_a, id_b,
+    cont_a, cont_b): |A∩B|/|A| and |A∩B|/|B| over distinct shingles.
+    Containment catches the asymmetric duplicates Jaccard structurally
+    misses — a short page quoted wholesale inside a long one has
+    containment ≈ 1 from the short side while Jaccard ≈ |A|/|B| → 0
+    (Broder 1997 distinguishes resemblance from containment for exactly
+    this case; quote/boilerplate inclusion is the webtext norm).
+
+    Same scale shape as ``jaccard_verify``: candidate-only semi-join
+    prune, shingles re-derived for candidate docs only, one join per
+    side, map-side set arithmetic."""
+    if prune:
+        ids = pairs.select(F.col("id_a").alias(id_col)).union(
+            pairs.select(F.col("id_b").alias(id_col))
+        ).distinct()
+        docs = docs.join(ids, id_col, "left_semi")
+    x = docs.select(F.col(id_col).alias("id_a"), F.array_distinct(shingle_col).alias("_sa"))
+    y = docs.select(F.col(id_col).alias("id_b"), F.array_distinct(shingle_col).alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    return (
+        pairs.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("_sa"), 6).alias("cont_a"),
+            F.round(inter / F.size("_sb"), 6).alias("cont_b"),
+        )
+    )

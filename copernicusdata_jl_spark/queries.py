@@ -887,6 +887,8 @@ _DRIVER_PRIORITY: list[str] = [
     "line_dedup",
     "build_postings",
     "cooccur_pmi",
+    "text_normalize",
+    "ngram_containment",
     # 22 entries present since r3/r4 but absent from every driver snapshot
     "blocklist_filter",
     "bpe_encode",

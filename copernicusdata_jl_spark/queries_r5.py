@@ -282,6 +282,93 @@ def _dataset_split_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# text normalization
+# ---------------------------------------------------------------------------
+
+# the fixture text is clean ASCII; wrap it in deterministic web junk so
+# every normalization pass fires (same pattern as url_canon's messy urls)
+_MESSY_PREFIX = "“RT” – "
+_MESSY_SUFFIX = "…\t it’s  over "
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Pre-tokenization normalization (functions/text.
+    normalize_text_expr): curly quotes/dashes/NBSP folded to ASCII,
+    ellipsis expanded, C0 controls stripped, space runs collapsed —
+    applied to documents wrapped in deterministic web junk so every pass
+    is exercised by the oracle comparison."""
+    from .functions.text import normalize_text_expr
+
+    d = load(spark, sf_dir, "documents")
+    messy = F.concat(F.lit(_MESSY_PREFIX), F.col("text"), F.lit(_MESSY_SUFFIX))
+    return d.select(
+        "doc_id", normalize_text_expr(messy).alias("norm_text")
+    ).orderBy("doc_id")
+
+
+def _text_normalize_sql() -> str:
+    from .functions.text import normalize_text_sql
+
+    messy = (
+        f"'{_MESSY_PREFIX}' || text || "
+        f"'{_MESSY_SUFFIX.replace(chr(39), chr(39) * 2)}'"
+    )
+    messy = messy.replace("\t", "' || chr(9) || '")
+    return (
+        f"SELECT doc_id, {normalize_text_sql(messy)} AS norm_text "
+        f"FROM documents ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (asymmetric near-dup / quote detection)
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ One-sided n-gram containment (operators/dedup.containment_verify,
+    Broder 1997's containment vs resemblance): |A∩B|/|A| and |A∩B|/|B|
+    for the same blocked candidate pairs as ngram_jaccard — catches the
+    short-page-quoted-in-long-page duplicates Jaccard misses."""
+    from .operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", D.word_ngrams_expr(F.col("text"), 3).alias("sh")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (
+        a.join(b, "lang")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20)
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    out = D.containment_verify(pairs, docs)
+    return out.filter(
+        F.greatest("cont_a", "cont_b") >= 0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _ngram_containment_sql() -> str:
+    from .operators import dedup as D
+
+    sh = D.word_ngrams_sql("text", 3)
+    return f"""
+WITH s AS (SELECT doc_id, lang, n_chars, {sh} AS sh FROM documents),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS cont_a,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh), 6) AS cont_b
+  FROM s a JOIN s b ON a.lang = b.lang
+  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+)
+SELECT id_a, id_b, cont_a, cont_b FROM p
+WHERE GREATEST(cont_a, cont_b) >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # inverted-index postings
 # ---------------------------------------------------------------------------
 
@@ -605,4 +692,6 @@ R5_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
     "build_postings": (q_build_postings, _build_postings_sql()),
     "cooccur_pmi": (q_cooccur_pmi, _cooccur_pmi_sql()),
+    "text_normalize": (q_text_normalize, _text_normalize_sql()),
+    "ngram_containment": (q_ngram_containment, _ngram_containment_sql()),
 }

@@ -321,3 +321,23 @@ def test_planted_fixture_ann_dominance_ordering(spark):
     assert rec_ivf >= rec_multi >= rec_lsh
     assert rec_ivf >= 0.8  # the stated retrieval target on planted structure
     assert rec_multi > rec_lsh  # strict separation somewhere in the ordering
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short page quoted wholesale inside a long one: containment from
+    the short side is 1.0 while Jaccard is small — the asymmetric-dup
+    case the operator exists for."""
+    from copernicusdata_jl_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "intro words here the quick brown fox jumps plus a very long tail of extra content words"),
+        ],
+        ["doc_id", "text"],
+    ).select("doc_id", D.word_ngrams_expr(F.col("text"), 3).alias("sh"))
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    c = D.containment_verify(pairs, docs).first()
+    assert c["cont_a"] == 1.0 and c["cont_b"] < 0.3
+    j = D.jaccard_verify(pairs, docs).first()["jaccard"]
+    assert j < 0.3

@@ -204,3 +204,29 @@ def test_build_postings_max_df_cut(spark):
     assert got == {"rare"}  # 'stop'/'word' appear in all 10 docs -> cut
     with pytest.raises(ValueError):
         build_postings(d, max_df_ratio=0.0)
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_folds_web_junk(spark):
+    import duckdb
+
+    from copernicusdata_jl_spark.functions.text import (
+        normalize_text_expr,
+        normalize_text_sql,
+    )
+
+    raw = "“Hello” – it’s  a\ttest…\x07 end\nline2  x"
+    d = spark.createDataFrame([(raw,)], ["t"])
+    got = d.select(normalize_text_expr(F.col("t")).alias("n")).first()["n"]
+    assert got == "\"Hello\" - it's a test... end\nline2 x"
+    # newline survives (line structure feeds line_dedup / Gopher rules)
+    assert "\n" in got
+    # the DuckDB twin is byte-identical (incl. the quote-escaping path)
+    want = duckdb.sql(
+        f"SELECT {normalize_text_sql('t')} AS n FROM (SELECT ? AS t)", params=[raw]
+    ).fetchone()[0]
+    assert got == want
