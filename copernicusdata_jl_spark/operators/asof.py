@@ -109,6 +109,40 @@ def asof_join(
     )
 
 
+def funnel_flags(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    steps: list,
+    prefix: str = "step",
+) -> DataFrame:
+    """Ordered-funnel membership: ``{prefix}{i}`` is 1 on a row iff the row
+    satisfies ``steps[i]`` (a boolean Column) AND an earlier-or-same row of
+    the same key already satisfied step i-1 in sequence order.
+
+    ``max(step[i-1]) OVER (key ORDER BY ts ROWS UNBOUNDED PRECEDING..
+    CURRENT)`` is the "seen so far" flag; chaining it keeps the whole
+    funnel in ONE window stage — Spark stacks the N window expressions
+    over a single Exchange + sort because they share the window spec
+    (same idiom as :func:`sessionize`).  Aggregate the flags with ``max``
+    per key to count users reaching each stage; all arithmetic is 0/1
+    integer, so results are engine- and partitioning-exact.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    seen_prev = None
+    for i, cond in enumerate(steps):
+        hit = cond if seen_prev is None else (cond & (seen_prev == 1))
+        out = out.withColumn(f"{prefix}{i}", F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+        seen_prev = F.max(F.col(f"{prefix}{i}")).over(w)
+    return out
+
+
 def range_lookup_join(
     facts: DataFrame,
     ranges: DataFrame,

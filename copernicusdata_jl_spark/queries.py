@@ -861,6 +861,11 @@ from .queries_r5 import R5_REGISTRY as _R5
 
 REGISTRY.update(_R5)
 
+# event-analytics suite (sessionization / as-of join / ordered funnel)
+from .queries_analytics import ANALYTICS_REGISTRY as _ANALYTICS
+
+REGISTRY.update(_ANALYTICS)
+
 # ---------------------------------------------------------------------------
 # driver-gate accountability (VERDICT r4 "What's wrong" #1): the correctness
 # driver snapshots the FIRST 50 registry entries in dict order, and has
@@ -873,6 +878,9 @@ REGISTRY.update(_R5)
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # round-5 additions — never driver-checked, newest first
+    "sessionize",
+    "asof_join",
+    "funnel_steps",
     "snapshot_delete",
     "snapshot_upsert",
     "gopher_rules",

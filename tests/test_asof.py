@@ -169,3 +169,76 @@ def test_range_lookup_exact_past_double_precision(spark):
         (r["k"], r["name"]) for r in range_lookup_join(facts, ranges, "k").collect()
     )
     assert got == [(base, "hi-range"), (base + 1, "hi-range"), (base + 63, "hi-range")]
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_order_matters(spark):
+    """A step only counts after the previous step was seen IN SEQUENCE:
+    view-before-signup contributes nothing, and a purchase needs a
+    qualifying view (not just any view) before it."""
+    from copernicusdata_jl_spark.operators.asof import funnel_flags
+
+    rows = [
+        # user 1: view THEN signup THEN purchase -> signup counted, but the
+        # view precedes it and the purchase has no qualifying view
+        (1, _t("2024-01-01T00:00"), 1, "view"),
+        (1, _t("2024-01-01T01:00"), 2, "signup"),
+        (1, _t("2024-01-01T02:00"), 3, "purchase"),
+        # user 2: full ordered funnel
+        (2, _t("2024-01-01T00:00"), 4, "signup"),
+        (2, _t("2024-01-01T01:00"), 5, "view"),
+        (2, _t("2024-01-01T02:00"), 6, "purchase"),
+        # user 3: never signs up
+        (3, _t("2024-01-01T00:00"), 7, "view"),
+        (3, _t("2024-01-01T01:00"), 8, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    from pyspark.sql import functions as FF
+
+    f = funnel_flags(
+        df, ["user_id"], "ts", "event_id",
+        steps=[FF.col("event_type") == s for s in ("signup", "view", "purchase")],
+    )
+    per_user = {
+        r.user_id: (r.s0, r.s1, r.s2)
+        for r in f.groupBy("user_id")
+        .agg(FF.max("step0").alias("s0"), FF.max("step1").alias("s1"), FF.max("step2").alias("s2"))
+        .collect()
+    }
+    assert per_user == {1: (1, 0, 0), 2: (1, 1, 1), 3: (0, 0, 0)}
+
+
+def test_funnel_single_window_stage(spark):
+    """All chained funnel flags share one window spec: the physical plan
+    must contain exactly one hash-partitioning Exchange (the user shuffle)
+    before the flags are available."""
+    from copernicusdata_jl_spark.operators.asof import funnel_flags
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [(1, _t("2024-01-01T00:00"), 1, "signup")], ["user_id", "ts", "event_id", "event_type"]
+    )
+    f = funnel_flags(
+        df, ["user_id"], "ts", "event_id",
+        steps=[FF.col("event_type") == s for s in ("signup", "view", "purchase")],
+    )
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_analytics_rollups_reuse_window_partitioning(spark):
+    """The registry rollups (sessionize/funnel) group on a superset of the
+    window's partition keys, so the groupBy must NOT add a second
+    hash-partitioning Exchange over the event scan."""
+    from copernicusdata_jl_spark import queries_analytics as QA
+    from conftest import SF_DIR
+
+    for q in (QA.q_sessionize, QA.q_funnel_steps):
+        plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        hash_exchanges = plan.count("Exchange hashpartitioning")
+        assert hash_exchanges == 1, f"{q.__name__}: {hash_exchanges} hash exchanges"
