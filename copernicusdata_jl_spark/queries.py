@@ -861,7 +861,7 @@ from .queries_r5 import R5_REGISTRY as _R5
 
 REGISTRY.update(_R5)
 
-# event-analytics suite (sessionization / as-of join / ordered funnel)
+# event-analytics suite (ordered funnel; sessionize/asof_join live in _EXT)
 from .queries_analytics import ANALYTICS_REGISTRY as _ANALYTICS
 
 REGISTRY.update(_ANALYTICS)
@@ -878,8 +878,6 @@ REGISTRY.update(_ANALYTICS)
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # round-5 additions — never driver-checked, newest first
-    "sessionize",
-    "asof_join",
     "funnel_steps",
     "snapshot_delete",
     "snapshot_upsert",

@@ -231,14 +231,13 @@ def test_funnel_single_window_stage(spark):
     assert "Join" not in plan
 
 
-def test_analytics_rollups_reuse_window_partitioning(spark):
-    """The registry rollups (sessionize/funnel) group on a superset of the
-    window's partition keys, so the groupBy must NOT add a second
-    hash-partitioning Exchange over the event scan."""
+def test_funnel_rollup_reuses_window_partitioning(spark):
+    """The registry funnel rollup groups on the window's partition key, so
+    the per-user groupBy must NOT add a second hash-partitioning Exchange
+    over the event scan (ClusteredDistribution already satisfied)."""
     from copernicusdata_jl_spark import queries_analytics as QA
     from conftest import SF_DIR
 
-    for q in (QA.q_sessionize, QA.q_funnel_steps):
-        plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        hash_exchanges = plan.count("Exchange hashpartitioning")
-        assert hash_exchanges == 1, f"{q.__name__}: {hash_exchanges} hash exchanges"
+    plan = QA.q_funnel_steps(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, f"q_funnel_steps: {hash_exchanges} hash exchanges"
