@@ -96,6 +96,8 @@ HEADLINE = [
     "cooccur_pmi",
     "text_normalize",
     "ngram_containment",
+    "funnel_steps",
+    "geohash_encode",
 ]
 
 

@@ -879,6 +879,7 @@ REGISTRY.update(_ANALYTICS)
 _DRIVER_PRIORITY: list[str] = [
     # round-5 additions — never driver-checked, newest first
     "funnel_steps",
+    "geohash_encode",
     "snapshot_delete",
     "snapshot_upsert",
     "gopher_rules",

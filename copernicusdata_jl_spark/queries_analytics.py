@@ -85,6 +85,48 @@ FROM per_user
 """
 
 
+# ---------------------------------------------------------------------------
+# geohash encode (even + odd precision through the asymmetric interleave)
+# ---------------------------------------------------------------------------
+
+
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Geohash keys over the geotagged event stream
+    (functions/geohash.geohash_expr — pure Catalyst, map-side only, zero
+    shuffle before the output sort): gh8 (even bit count) and gh7 (odd —
+    exercises the asymmetric lon-leading interleave), plus the gh4 prefix
+    truncation that makes geohash hierarchies aggregate without
+    re-encoding."""
+    from .functions.geohash import geohash_expr
+    from .queries import geotagged_events
+
+    ev = geotagged_events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            geohash_expr(F.col("lat"), F.col("lon"), 8).alias("gh8"),
+            geohash_expr(F.col("lat"), F.col("lon"), 7).alias("gh7"),
+        )
+        .withColumn("gh4", F.substring("gh8", 1, 4))
+        .orderBy("event_id")
+    )
+
+
+def _geohash_sql() -> str:
+    from .functions.geohash import geohash_sql
+    from .queries import GEO_EVENTS_SQL
+
+    return f"""
+WITH g AS (
+  SELECT event_id, {geohash_sql("lat", "lon", 8)} AS gh8,
+         {geohash_sql("lat", "lon", 7)} AS gh7
+  FROM {GEO_EVENTS_SQL} e
+)
+SELECT event_id, gh8, gh7, substr(gh8, 1, 4) AS gh4 FROM g ORDER BY event_id
+"""
+
+
 ANALYTICS_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "funnel_steps": (q_funnel_steps, _FUNNEL_SQL),
+    "geohash_encode": (q_geohash_encode, _geohash_sql()),
 }
