@@ -98,6 +98,7 @@ HEADLINE = [
     "ngram_containment",
     "funnel_steps",
     "geohash_encode",
+    "session_window_agg",
 ]
 
 

@@ -40,9 +40,10 @@ def sessionize(
     The classic large-scale formulation — ONE shuffle by key, then two
     windowed passes over the sorted partition (lag to flag gaps,
     running sum to number sessions); no self-join, no state beyond the
-    sort. Streaming twin: ``session_window``/``applyInPandasWithState``
-    (streaming/windowed.py keeps per-key state for the incremental
-    case)."""
+    sort. Streaming twin: ``streaming/windowed.stream_sessionize``
+    (native ``session_window`` state; identical strictly-greater gap
+    rule, up to this function's whole-second truncation vs the
+    stream's microsecond arithmetic)."""
     w = Window.partitionBy(*keys).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
     # unix_timestamp = whole-second truncation (TIMESTAMP_NTZ in a UTC

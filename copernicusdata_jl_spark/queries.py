@@ -880,6 +880,7 @@ _DRIVER_PRIORITY: list[str] = [
     # round-5 additions — never driver-checked, newest first
     "funnel_steps",
     "geohash_encode",
+    "session_window_agg",
     "snapshot_delete",
     "snapshot_upsert",
     "gopher_rules",

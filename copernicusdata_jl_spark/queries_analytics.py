@@ -126,7 +126,55 @@ SELECT event_id, gh8, gh7, substr(gh8, 1, 4) AS gh4 FROM g ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# native session windows (batch plan of the streaming operator)
+# ---------------------------------------------------------------------------
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Spark-native session windows (streaming/windowed.stream_sessionize
+    run in batch mode — the SAME plan the stream executes incrementally):
+    per-user 30-min-gap sessions where the window is [first_event,
+    last_event + gap) and touching windows merge (only a gap STRICTLY
+    greater than 30 min splits). The oracle re-derives that rule
+    independently with a lag/running-sum CTE in integer microseconds."""
+    from .streaming.windowed import stream_sessionize
+
+    ev = load(spark, sf_dir, "events")
+    out = stream_sessionize(ev)  # batch frame -> plain aggregation plan
+    return (
+        out.withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH t AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM t
+), x AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM s
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       round(CAST(sum(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE), 3) AS sum_value
+FROM x GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 ANALYTICS_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "funnel_steps": (q_funnel_steps, _FUNNEL_SQL),
     "geohash_encode": (q_geohash_encode, _geohash_sql()),
+    "session_window_agg": (q_session_window_agg, _SESSION_WINDOW_SQL),
 }

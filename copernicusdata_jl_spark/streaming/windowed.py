@@ -129,6 +129,51 @@ def stream_dedup_latest(
     return agg.select(F.col("w.start").alias("window_start"), *key_cols, ts_col, *payload)
 
 
+def stream_sessionize(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Per-key gap sessions via Spark's NATIVE session windows
+    (``F.session_window``) — the incremental twin of the batch
+    ``operators/asof.sessionize``: an event extends a session iff it
+    arrives within ``gap`` of the previous event of the same key (touching
+    windows merge — only a gap STRICTLY greater than ``gap`` starts a new
+    session, the same ``>`` rule as the batch operator), and the emitted
+    window is ``[first_event, last_event + gap)``.
+
+    Works on both batch and streaming frames with the SAME plan — on a
+    stream the state store holds one merging session per in-flight
+    (key, session) and expires it when the watermark passes ``session_end``
+    (state bounded by the watermark horizon, not history).  The registry
+    query ``session_window_agg`` pins the batch plan to an independent
+    lag-based SQL derivation, and the stream test asserts batch == stream
+    over the same files.
+    """
+    key_cols = key_cols or ["user_id"]
+    # session_window needs TIMESTAMP (watermark-capable); UTC session tz
+    # makes the NTZ cast value-preserving
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.round(F.col("value"), 3).cast("decimal(18,3)")).cast("double"), 3).alias("sum_value"),
+        )
+        .select(
+            *key_cols,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_corpus(
     pages: DataFrame,
     window: str = "365 days",
