@@ -881,6 +881,7 @@ _DRIVER_PRIORITY: list[str] = [
     "funnel_steps",
     "geohash_encode",
     "session_window_agg",
+    "warc_scan",
     "snapshot_delete",
     "snapshot_upsert",
     "gopher_rules",

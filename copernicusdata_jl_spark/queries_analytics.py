@@ -1,17 +1,17 @@
-"""☆ Ordered-funnel analytics (completes the event-time trio: sessionize
-and asof_join already have registry entries in queries_ext.py).
+"""☆ Round-5 analytics suite: ordered funnel, geohash keys, native session
+windows, WARC container scan.
 
-The reference stops at interval selection over the events stream (J5,
-src/Payloads.jl start/stop_time); the ordered funnel is the third classic
-derived view a web-scale event pipeline layers on top — one hash partition
-by user + chained seen-so-far window flags (operators/asof.funnel_flags),
-no join nodes, and the follow-up rollup reuses the window's partitioning
-(group keys ⊇ partition keys satisfy ClusteredDistribution — no second
-Exchange).
+These close the event-time trio (sessionize and asof_join have registry
+entries in queries_ext.py; the funnel is the third classic derived view),
+add the external-facing spatial string key (geohash — prefix-hierarchical,
+pure Catalyst), pin Spark's NATIVE session windows against an independent
+SQL derivation (the batch plan of the streaming operator), and round-trip
+the documents table through a real ISO 28500 WARC archive via the
+file-parallel scan.
 
-Parity rules as in queries.py: 0/1 integer flags only (engine-exact),
-identical column aliases on both sides, explicit BIGINT casts for DuckDB's
-HUGEINT integer sums.
+Parity rules as in queries.py: integer/0-1 arithmetic wherever possible
+(engine-exact), identical-IEEE double formulas otherwise, identical column
+aliases on both sides, explicit BIGINT casts for DuckDB's HUGEINT sums.
 """
 
 from __future__ import annotations
@@ -173,8 +173,63 @@ FROM x GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
 
+# ---------------------------------------------------------------------------
+# WARC container round trip through the distributed scan
+# ---------------------------------------------------------------------------
+
+
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ WARC (ISO 28500) round trip (sources/warc.py): the documents
+    table is written as a real member-per-record .warc.gz (driver-side
+    fixture write — catalog-scale, same contract as nc3_scan's granule),
+    then re-read through the file-parallel binaryFile + mapInPandas scan;
+    parsed HTTP bodies must match the parquet source of truth byte for
+    byte. Eagerly materialized before the temp archive is removed."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.warc import scan_warc, write_warc
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").collect()
+    tmp = tempfile.mkdtemp(prefix="warc-")
+    try:
+        recs = [
+            {
+                "warc_type": "response",
+                "target_uri": f"https://corpus.example/doc/{r.doc_id}",
+                "content_type": "application/http;msgtype=response",
+                "payload": b"HTTP/1.1 200 OK\r\n\r\n" + r.text.encode("utf-8"),
+            }
+            for r in docs
+        ]
+        write_warc(os.path.join(tmp, "docs.warc.gz"), recs)
+        return (
+            scan_warc(spark, tmp, glob="*.warc.gz")
+            .select(
+                F.regexp_extract("target_uri", r"([0-9]+)$", 1).cast("long").alias("doc_id"),
+                "http_status",
+                F.length("payload").cast("long").alias("body_bytes"),
+                F.col("payload").cast("string").alias("body"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_WARC_SCAN_SQL = """
+SELECT doc_id, 200 AS http_status,
+       octet_length(encode(text)) AS body_bytes,
+       text AS body
+FROM documents ORDER BY doc_id
+"""
+
+
 ANALYTICS_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "funnel_steps": (q_funnel_steps, _FUNNEL_SQL),
     "geohash_encode": (q_geohash_encode, _geohash_sql()),
     "session_window_agg": (q_session_window_agg, _SESSION_WINDOW_SQL),
+    "warc_scan": (q_warc_scan, _WARC_SCAN_SQL),
 }
