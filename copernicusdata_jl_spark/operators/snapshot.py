@@ -42,11 +42,114 @@ import json
 import os
 import uuid
 
+import pandas as pd  # module-level so the bloom UDF's type hints resolve
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: predicate ops accepted by ``read(where=...)`` / ``files_for``
 _OPS = ("==", "<", "<=", ">", ">=")
+
+# ---------------------------------------------------------------------------
+# per-file bloom filters (equality-predicate file skipping)
+# ---------------------------------------------------------------------------
+# Min/max stats prune RANGE predicates, but a point lookup on a
+# hash-distributed high-cardinality column (digest, url — exactly the
+# takedown/dedup access pattern) finds every file's [min, max] straddling
+# the probe value: zero files pruned. Iceberg solves this with per-file
+# bloom sidecars; same here, held sparsely in the manifest (m=8192 bits =
+# 1 KB/file/column, ~1% false positives at ~850 distinct values per file).
+# Hashing is md5 double-hashing (Kirsch-Mitzenmacher h1 + j*h2) over a
+# canonical byte encoding — deliberately NOT Spark's xxhash64, so the
+# driver can probe a literal without replicating JVM hash internals, and
+# the build (a commit-time Arrow-batched pass over only the files just
+# written) produces identical bits on any engine.
+
+_BLOOM_M = 8192  # bits per (file, column)
+_BLOOM_K = 7
+
+
+def _bloom_bytes(value) -> bytes | None:
+    """Canonical byte encoding for bloom hashing; None = ineligible type
+    (floats excluded — equality probes on floats are not a real workload,
+    and their textual canonicalization is locale/format-fragile)."""
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, int):
+        return str(value).encode("ascii")
+    return None
+
+
+def _bloom_positions(value) -> list[int] | None:
+    import hashlib
+
+    raw = _bloom_bytes(value)
+    if raw is None:
+        return None
+    d = hashlib.md5(raw).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd → cycles all of [0, m)
+    return [(h1 + j * h2) % _BLOOM_M for j in range(_BLOOM_K)]
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """Probe one file's manifest bloom; missing/ineligible → True (never
+    prune blind, same contract as _may_match)."""
+    pos = _bloom_positions(value)
+    if pos is None or bloom.get("m") != _BLOOM_M or bloom.get("k") != _BLOOM_K:
+        return True
+    words = bloom.get("words", {})
+    for p in pos:
+        if not (int(words.get(str(p >> 6), 0)) >> (p & 63)) & 1:
+            return False
+    return True
+
+
+def _build_blooms(df_schema, spark, data_dir: str, cols: list[str]) -> dict:
+    """{rel_basename: {col: {m, k, words}}} for the files under
+    ``data_dir`` — ONE distributed pass per column over only the files the
+    commit just wrote: distinct (file, value) pairs map to bit positions
+    in an Arrow-batched UDF, then a bit_or rollup packs 64 bits per word.
+    The collect is manifest-sized (files × set words), never row-sized."""
+    eligible = {
+        f.name: f.dataType.simpleString() for f in df_schema.fields
+    }
+    out: dict[str, dict] = {}
+    for c in cols:
+        t = eligible.get(c)
+        if t not in ("string", "bigint", "int", "smallint", "tinyint", "long"):
+            raise ValueError(
+                f"bloom column {c!r} has unsupported type {t!r} "
+                "(string/integer only)"
+            )
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<long>")
+        def _pos(vals: pd.Series) -> pd.Series:
+            return vals.map(lambda v: None if v is None else _bloom_positions(v))
+
+        rows = (
+            spark.read.parquet(data_dir)
+            .select(F.input_file_name().alias("_f"), F.col(c).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .distinct()
+            .select("_f", F.explode(_pos(F.col("_v"))).alias("_p"))
+            .groupBy("_f", F.expr("_p div 64").alias("_w"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))")
+                ).alias("_bits")
+            )
+            .collect()
+        )
+        for r in rows:
+            base = os.path.basename(r._f)
+            ent = out.setdefault(base, {}).setdefault(
+                c, {"m": _BLOOM_M, "k": _BLOOM_K, "words": {}}
+            )
+            ent["words"][str(int(r._w))] = int(r._bits)
+    return out
 
 
 def _footer_stats(path: str) -> tuple[int, dict[str, list]]:
@@ -224,6 +327,7 @@ class SnapshotTable:
 
     def commit(self, df: DataFrame, run_id: str, max_retries: int = 10,
                replace: bool = False, expected_parent: int | None = None,
+               bloom_cols: list[str] | None = None,
                _delete_keys: tuple[list[str], list[str]] | None = None) -> int:
         """Atomically commit ``df`` as a new snapshot; returns its version.
 
@@ -264,6 +368,16 @@ class SnapshotTable:
         for rel in files:
             rows, col_stats = _footer_stats(os.path.join(self.path, rel))
             stats[rel] = {"rows": rows, "stats": col_stats}
+        # bloom_cols=None inherits the table's configured columns, so
+        # routine appends and compact()'s replace re-commit keep the
+        # equality-skipping property without restating it every call
+        eff_bloom = bloom_cols if bloom_cols is not None else (
+            self.manifest(pre).get("bloom_cols", []) if pre is not None else []
+        )
+        file_blooms = {}
+        if eff_bloom:
+            built = _build_blooms(df.schema, df.sparkSession, ddir, eff_bloom)
+            file_blooms = {f"data/{cid}/{b}": v for b, v in built.items()}
         new_fields = {f.name: f.dataType.json() for f in df.schema.fields}
         for _ in range(max_retries):
             latest = self.latest_version()
@@ -302,6 +416,9 @@ class SnapshotTable:
                 "file_seq": {f: version for f in files} if replace
                 else {**parent_doc.get("file_seq", {}),
                       **{f: version for f in files}},
+                "bloom_cols": eff_bloom,
+                "file_blooms": file_blooms if replace
+                else {**parent_doc.get("file_blooms", {}), **file_blooms},
                 # replace folds deletes into the rewritten data (read()
                 # already applied them to the frame being committed);
                 # _delete_keys (upsert) adds ONE delete entry at THIS
@@ -371,7 +488,8 @@ class SnapshotTable:
             version = latest + 1
             doc = {
                 **{k: parent_doc[k] for k in
-                   ("files", "file_stats", "file_seq", "schema")
+                   ("files", "file_stats", "file_seq", "schema",
+                    "bloom_cols", "file_blooms")
                    if k in parent_doc},
                 "version": version,
                 "parent": latest,
@@ -459,10 +577,17 @@ class SnapshotTable:
         if not where:
             return files
         fstats = doc.get("file_stats", {})
+        fblooms = doc.get("file_blooms", {})
         return [
             f for f in files
-            if all(_may_match(fstats.get(f, {}).get("stats", {}), c, op, val)
-                   for c, op, val in where)
+            if all(
+                _may_match(fstats.get(f, {}).get("stats", {}), c, op, val)
+                and (
+                    op != "=="
+                    or _bloom_may_contain(fblooms.get(f, {}).get(c, {}), val)
+                )
+                for c, op, val in where
+            )
         ]
 
     def read(self, spark: SparkSession, version: int | None = None,

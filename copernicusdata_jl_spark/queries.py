@@ -882,6 +882,7 @@ _DRIVER_PRIORITY: list[str] = [
     "geohash_encode",
     "session_window_agg",
     "warc_scan",
+    "snapshot_pointread",
     "snapshot_delete",
     "snapshot_upsert",
     "gopher_rules",

@@ -1,5 +1,5 @@
 """☆ Round-5 analytics suite: ordered funnel, geohash keys, native session
-windows, WARC container scan.
+windows, WARC container scan, bloom-pruned snapshot point reads.
 
 These close the event-time trio (sessionize and asof_join have registry
 entries in queries_ext.py; the funnel is the third classic derived view),
@@ -227,9 +227,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# bloom-pruned snapshot point read
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Equality file-skipping on the governed table
+    (operators/snapshot._build_blooms / files_for): documents are committed
+    hash-distributed on a content digest — every file's [min, max]
+    straddles any probe, so range stats prune nothing — with per-file
+    blooms on the digest; a point read then touches only the files whose
+    bloom admits the probe (the takedown/dedup access pattern at 100 TB).
+    Eagerly materialized before the temp table is removed."""
+    import shutil
+    import tempfile
+
+    from .operators.snapshot import SnapshotTable
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("digest", F.md5("text"))
+        .select("doc_id", "digest", "lang")
+        .repartition(8, "digest")
+    )
+    tmp = tempfile.mkdtemp(prefix="snapbloom-")
+    try:
+        t = SnapshotTable(tmp)
+        t.commit(docs, "base", bloom_cols=["digest"])
+        probe = docs.filter(F.col("doc_id") == 7).collect()[0].digest
+        return (
+            t.read(spark, where=[("digest", "==", probe)])
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SNAPSHOT_POINTREAD_SQL = """
+SELECT doc_id, md5(text) AS digest, lang FROM documents
+WHERE md5(text) = (SELECT md5(text) FROM documents WHERE doc_id = 7)
+ORDER BY doc_id
+"""
+
+
 ANALYTICS_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "funnel_steps": (q_funnel_steps, _FUNNEL_SQL),
     "geohash_encode": (q_geohash_encode, _geohash_sql()),
     "session_window_agg": (q_session_window_agg, _SESSION_WINDOW_SQL),
     "warc_scan": (q_warc_scan, _WARC_SCAN_SQL),
+    "snapshot_pointread": (q_snapshot_pointread, _SNAPSHOT_POINTREAD_SQL),
 }

@@ -521,3 +521,99 @@ def test_upsert_folds_under_compaction(spark, tmp_path):
     after = {(r["doc_id"], r["x"]) for r in t.read(spark).collect()}
     assert before == after
     assert not t.manifest(t.latest_version()).get("deletes")
+
+
+# ---------------------------------------------------------------------------
+# per-file bloom filters (equality-predicate file skipping)
+# ---------------------------------------------------------------------------
+
+
+def _digest_table(spark, n=64, parts=8):
+    """Hash-distributed digests: every file's [min, max] straddles any
+    probe value, so min/max stats prune NOTHING — the bloom's job."""
+    import hashlib
+
+    rows = [(i, hashlib.sha1(str(i).encode()).hexdigest()) for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "digest"]).repartition(parts, "digest")
+
+
+def test_bloom_prunes_point_lookup_minmax_cannot(spark, tmp_path):
+    from copernicusdata_jl_spark.operators.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "bloom"))
+    df = _digest_table(spark)
+    t.commit(df, "base", bloom_cols=["digest"])
+    total = len(t.files_for())
+    assert total > 1
+    probe = df.collect()[0]
+    where = [("digest", "==", probe.digest)]
+    pruned = t.files_for(where=where)
+    # min/max alone keeps everything (hash-distributed); bloom must cut
+    assert len(pruned) < total
+    got = t.read(spark, where=where).collect()
+    assert {(r.doc_id, r.digest) for r in got} == {(probe.doc_id, probe.digest)}
+    # an absent value prunes every file (no false-negative risk the other way)
+    assert t.read(spark, where=[("digest", "==", "no-such-digest")]).count() == 0
+
+
+def test_bloom_never_false_negative_exhaustive(spark, tmp_path):
+    """Every committed value must survive pruning — bloom false positives
+    only ever keep EXTRA files, never drop a matching one."""
+    from copernicusdata_jl_spark.operators.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "bloomfn"))
+    df = _digest_table(spark, n=48, parts=6)
+    t.commit(df, "base", bloom_cols=["digest", "doc_id"])
+    for r in df.collect():
+        rows = t.read(spark, where=[("digest", "==", r.digest)]).collect()
+        assert (r.doc_id, r.digest) in {(x.doc_id, x.digest) for x in rows}
+        rows = t.read(spark, where=[("doc_id", "==", r.doc_id)]).collect()
+        assert (r.doc_id, r.digest) in {(x.doc_id, x.digest) for x in rows}
+
+
+def test_bloom_inherited_by_append_and_compact(spark, tmp_path):
+    from copernicusdata_jl_spark.operators.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "bloominh"))
+    t.commit(_digest_table(spark, n=32, parts=4), "base", bloom_cols=["digest"])
+    # plain append (no bloom_cols arg) inherits the configuration
+    import hashlib
+
+    extra = spark.createDataFrame(
+        [(1000, hashlib.sha1(b"extra").hexdigest())], ["doc_id", "digest"]
+    )
+    t.commit(extra, "more")
+    doc = t.manifest(t.latest_version())
+    assert doc["bloom_cols"] == ["digest"]
+    # every new file WITH ROWS gets a bloom (empty part files legitimately
+    # have none — an absent entry is always kept, the safe direction)
+    new_files = doc["added"]
+    assert any(f in doc["file_blooms"] for f in new_files)
+    # compaction rewrites files AND rebuilds their blooms
+    t.compact(spark, target_files=2)
+    doc2 = t.manifest(t.latest_version())
+    assert doc2["bloom_cols"] == ["digest"]
+    assert set(doc2["file_blooms"]) <= set(doc2["files"])
+    assert doc2["file_blooms"]
+    probe = hashlib.sha1(b"extra").hexdigest()
+    rows = t.read(spark, where=[("digest", "==", probe)]).collect()
+    assert [(r.doc_id, r.digest) for r in rows] == [(1000, probe)]
+
+
+def test_bloom_survives_delete_and_unsupported_type_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from copernicusdata_jl_spark.operators.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "bloomdel"))
+    df = _digest_table(spark, n=24, parts=4)
+    t.commit(df, "base", bloom_cols=["digest"])
+    victim = df.collect()[0]
+    t.delete(spark.createDataFrame([(victim.doc_id,)], ["doc_id"]), "takedown")
+    doc = t.manifest(t.latest_version())
+    assert doc.get("bloom_cols") == ["digest"] and doc.get("file_blooms")
+    assert t.read(spark, where=[("digest", "==", victim.digest)]).count() == 0
+    t2 = SnapshotTable(str(tmp_path / "bloombad"))
+    bad = spark.createDataFrame([(1, 2.5)], ["doc_id", "score"])
+    with _pytest.raises(ValueError, match="unsupported type"):
+        t2.commit(bad, "x", bloom_cols=["score"])
