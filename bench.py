@@ -99,6 +99,10 @@ HEADLINE = [
     "funnel_steps",
     "geohash_encode",
     "session_window_agg",
+    # snapshot_pointread times the real commit + bloom build + pruned read;
+    # warc_scan and nc3_scan stay out (driver-side fixture write is
+    # catalog-scale by contract — the timed part would be the fixture)
+    "snapshot_pointread",
 ]
 
 

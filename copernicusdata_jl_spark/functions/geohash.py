@@ -11,14 +11,23 @@ systems expect.
 
 Construction: quantize ``lat``/``lon`` to ``floor((v - lo) / span * 2^bits)``
 (one IEEE-754 multiply+divide — bit-identical on any engine, unlike the
-textbook interval-halving loop whose midpoints are engine-independent too
-but whose per-bit branch is 5x the expression size), interleave with the
-same shift-or chain as ``zorder_expr`` (cluster.py), then render base32
-via ``substr`` over the alphabet literal.  Everything stays inside
-whole-stage codegen; the DuckDB twin (``geohash_sql``) is the identical
-arithmetic, so oracle hashes match exactly.  ``geohash_py`` pins both
-against the canonical interval-halving algorithm in tests (20k-point
-property sweep + published vectors).
+textbook interval-halving loop whose per-bit branch is 5x the expression
+size), interleave with the same shift-or chain as ``zorder_expr``
+(cluster.py), then render base32 via ``substr`` over the alphabet literal.
+Everything stays inside whole-stage codegen; the DuckDB twin
+(``geohash_sql``) is the identical arithmetic, so oracle hashes match
+exactly, and ``geohash_py`` pins both against the canonical
+interval-halving algorithm (published vectors + random sweep).
+
+Boundary caveat (documented, not hidden): the single multiply rounds once
+where interval halving compares against exactly-representable midpoints,
+so a coordinate within a few ulps BELOW a cell boundary (≈1e-9 degrees —
+sub-micron on the ground) can land in the adjacent cell relative to a
+halving-based library; coordinates exactly ON a boundary agree, and the
+three twins here always agree with each other (pinned on adversarial
+boundary points in tests).  Every fast multiply-based geohash
+implementation shares this window; choosing it keeps the Spark expression
+one arithmetic op instead of 5·precision chained branches.
 
 Scale note: the encode is map-side only — at 100 TB it rides the scan
 with zero shuffle, and a ``substr(gh, 1, k)`` prefix rollup aggregates

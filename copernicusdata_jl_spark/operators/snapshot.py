@@ -71,13 +71,21 @@ _BLOOM_K = 7
 def _bloom_bytes(value) -> bytes | None:
     """Canonical byte encoding for bloom hashing; None = ineligible type
     (floats excluded — equality probes on floats are not a real workload,
-    and their textual canonicalization is locale/format-fragile)."""
-    if isinstance(value, bool) or value is None:
+    and their textual canonicalization is locale/format-fragile).
+
+    numpy integer scalars are accepted and normalized through ``int``:
+    the build side sees ``np.int64`` elements from the Arrow batch while
+    the probe side sees Python ints — without the normalization every
+    integer bloom would silently build empty and skipping would be a
+    no-op (r5 review)."""
+    import numpy as np
+
+    if isinstance(value, (bool, np.bool_)) or value is None:
         return None
     if isinstance(value, str):
         return value.encode("utf-8")
-    if isinstance(value, int):
-        return str(value).encode("ascii")
+    if isinstance(value, (int, np.integer)):
+        return str(int(value)).encode("ascii")
     return None
 
 
@@ -370,7 +378,13 @@ class SnapshotTable:
             stats[rel] = {"rows": rows, "stats": col_stats}
         # bloom_cols=None inherits the table's configured columns, so
         # routine appends and compact()'s replace re-commit keep the
-        # equality-skipping property without restating it every call
+        # equality-skipping property without restating it every call.
+        # The BUILD uses the pre-read config (it's the expensive pass and
+        # runs once); the RECORDED config is re-resolved inside the retry
+        # loop against the actual rebase parent, so a rebased commit can
+        # never clobber bloom_cols configured by a concurrent first commit
+        # (r5 review). Files built under a stale config stay safe either
+        # way: an absent bloom entry is never pruned.
         eff_bloom = bloom_cols if bloom_cols is not None else (
             self.manifest(pre).get("bloom_cols", []) if pre is not None else []
         )
@@ -416,7 +430,8 @@ class SnapshotTable:
                 "file_seq": {f: version for f in files} if replace
                 else {**parent_doc.get("file_seq", {}),
                       **{f: version for f in files}},
-                "bloom_cols": eff_bloom,
+                "bloom_cols": bloom_cols if bloom_cols is not None
+                else parent_doc.get("bloom_cols", []),
                 "file_blooms": file_blooms if replace
                 else {**parent_doc.get("file_blooms", {}), **file_blooms},
                 # replace folds deletes into the rewritten data (read()

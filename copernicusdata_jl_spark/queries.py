@@ -29,20 +29,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# deterministic geotags for `events` — identical arithmetic in Spark & SQL
-LAT_SQL = "(CAST((user_id * 37) % 1600 AS DOUBLE) / 10.0 - 80.0 + CAST(event_id % 97 AS DOUBLE) / 1000.0)"
-LON_SQL = "(CAST((event_id * 73) % 3600 AS DOUBLE) / 10.0 - 180.0 + CAST(user_id % 89 AS DOUBLE) / 1000.0)"
-
-
-def geotagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load(spark, sf_dir, "events")
-        .withColumn("lat", F.expr(LAT_SQL))
-        .withColumn("lon", F.expr(LON_SQL))
-    )
-
-
-GEO_EVENTS_SQL = f"(SELECT *, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM events)"
+# deterministic geotags for `events` — defined in the leaf module
+# geo_events.py (so sub-registry SQL builders can import them at import
+# time without re-entering the queries↔sub-registry cycle) and re-exported
+# here for every existing `from .queries import GEO_EVENTS_SQL` site
+from .geo_events import GEO_EVENTS_SQL, LAT_SQL, LON_SQL, geotagged_events  # noqa: F401
 
 # rectangles for the oracle-checkable PIP query (half-open [x0,x1)×[y0,y1)
 # per the ray-cast kernel's tie-break rule)

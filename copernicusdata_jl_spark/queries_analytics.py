@@ -98,7 +98,7 @@ def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation that makes geohash hierarchies aggregate without
     re-encoding."""
     from .functions.geohash import geohash_expr
-    from .queries import geotagged_events
+    from .geo_events import geotagged_events
 
     ev = geotagged_events(spark, sf_dir)
     return (
@@ -114,7 +114,7 @@ def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _geohash_sql() -> str:
     from .functions.geohash import geohash_sql
-    from .queries import GEO_EVENTS_SQL
+    from .geo_events import GEO_EVENTS_SQL
 
     return f"""
 WITH g AS (

@@ -582,7 +582,7 @@ def q_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning-selectivity win is pinned by tests/test_cluster.py."""
     from .functions import cells
     from .operators.cluster import zorder_expr
-    from .queries import geotagged_events
+    from .geo_events import geotagged_events
 
     ev = geotagged_events(spark, sf_dir)
     cell = cells.latlng_to_cell_expr("lat", "lon", 6)
@@ -602,7 +602,7 @@ def q_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zorder_index_sql() -> str:
     from .functions import cells
     from .operators.cluster import zorder_sql
-    from .queries import GEO_EVENTS_SQL
+    from .geo_events import GEO_EVENTS_SQL
 
     cell = cells.latlng_to_cell_sql("lat", "lon", 6)
     return f"""

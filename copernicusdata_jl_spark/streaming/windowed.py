@@ -135,6 +135,7 @@ def stream_sessionize(
     ts_col: str = "ts",
     gap: str = "30 minutes",
     watermark: str = "2 days",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Per-key gap sessions via Spark's NATIVE session windows
     (``F.session_window``) — the incremental twin of the batch
@@ -158,18 +159,26 @@ def stream_sessionize(
     src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if src.isStreaming:
         src = src.withWatermark(ts_col, watermark)
+    # value_col=None (or a frame without it) sessionizes counts only —
+    # the API works on any keyed timestamped frame, not just `events`
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    extra = []
+    if value_col is not None and value_col in src.columns:
+        aggs.append(
+            F.round(
+                F.sum(F.round(F.col(value_col), 3).cast("decimal(18,3)")).cast("double"), 3
+            ).alias("sum_value")
+        )
+        extra = ["sum_value"]
     return (
         src.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *key_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.round(F.col("value"), 3).cast("decimal(18,3)")).cast("double"), 3).alias("sum_value"),
-        )
+        .agg(*aggs)
         .select(
             *key_cols,
             F.col("sw.start").alias("session_start"),
             F.col("sw.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            *extra,
         )
     )
 

@@ -85,3 +85,36 @@ def test_plan_is_map_side_codegen(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # encode rides the scan, zero shuffle
+
+
+def test_boundary_ulp_window_twins_agree(spark):
+    """A coordinate a few ulps below a cell boundary may differ from the
+    canonical interval-halving result (documented window, sub-micron on
+    the ground) — but the three twins (python / Spark / DuckDB) must agree
+    with EACH OTHER on exactly those adversarial points, and exact
+    boundary values must match canonical."""
+    import math
+
+    adversarial = []
+    for bound in (45.0, 135.0, -45.0, 0.0):
+        below = math.nextafter(bound, -math.inf)
+        adversarial += [(below, below), (bound, bound)]
+    pts = [(i, lat / 2, lon) for i, (lat, lon) in enumerate(adversarial)]
+    df = spark.createDataFrame(pts, ["i", "lat", "lon"])
+    for p in (1, 5, 8):
+        expected = {i: geohash_py(lat, lon, p) for i, lat, lon in pts}
+        got = {
+            r.i: r.gh
+            for r in df.select("i", geohash_expr(F.col("lat"), F.col("lon"), p).alias("gh")).collect()
+        }
+        assert got == expected
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts(i INT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?, ?)", pts)
+        sql_got = dict(con.execute(f"SELECT i, {geohash_sql('lat', 'lon', p)} FROM pts").fetchall())
+        assert sql_got == expected
+    # exactly-on-boundary values agree with canonical (the rounding window
+    # is only ulps BELOW the boundary)
+    for bound in (45.0, 0.0, -90.0):
+        for p in (1, 4, 8):
+            assert geohash_py(10.0, bound, p) == _canonical(10.0, bound, p)

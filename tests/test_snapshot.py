@@ -564,11 +564,20 @@ def test_bloom_never_false_negative_exhaustive(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "bloomfn"))
     df = _digest_table(spark, n=48, parts=6)
     t.commit(df, "base", bloom_cols=["digest", "doc_id"])
+    total = len(t.files_for())
+    pruned_digest = pruned_id = 0
     for r in df.collect():
         rows = t.read(spark, where=[("digest", "==", r.digest)]).collect()
         assert (r.doc_id, r.digest) in {(x.doc_id, x.digest) for x in rows}
+        pruned_digest += total - len(t.files_for(where=[("digest", "==", r.digest)]))
         rows = t.read(spark, where=[("doc_id", "==", r.doc_id)]).collect()
         assert (r.doc_id, r.digest) in {(x.doc_id, x.digest) for x in rows}
+        pruned_id += total - len(t.files_for(where=[("doc_id", "==", r.doc_id)]))
+    # the blooms must actually SKIP files on BOTH column types — an
+    # integer bloom that silently builds empty (np.int64 failing the
+    # isinstance(int) check, r5 review) would pass the loop above
+    # vacuously but prune nothing
+    assert pruned_digest > 0 and pruned_id > 0
 
 
 def test_bloom_inherited_by_append_and_compact(spark, tmp_path):
