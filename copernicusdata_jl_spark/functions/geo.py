@@ -258,3 +258,45 @@ def split_antimeridian(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
     if east_rings:
         out.append(east_rings)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Integer shoelace — exact signed area + centroid over vertex arrays
+# ---------------------------------------------------------------------------
+
+
+def ring_shoelace_cols(verts: Column) -> dict[str, Column]:
+    """Signed shoelace accumulators for a closed ring given as an ARRAY of
+    ``struct<x:long, y:long>`` vertices (last→first edge implied). Returns
+    ``area2`` (twice the signed area, positive = CCW), and the centroid
+    numerators ``sx6``/``sy6`` (6× area-weighted centroid sums), so
+    ``cx = sx6 / (3·area2)``. All three are exact BIGINT folds — the sums
+    run INSIDE the array (``aggregate`` is a sequential in-order fold),
+    so results are engine-exact and partition-order independent, unlike a
+    row-wise float SUM. Stays entirely in whole-stage codegen: one
+    ``zip_with`` per accumulator over the rotated-copy array, no explode,
+    no Python.
+
+    Geometry parity note: this is the planar (projected) shoelace the
+    reference's notebook tiling math uses on EQC grids; for geodesic area
+    use a sphere-excess kernel instead (out of scope — the tiling layer
+    is planar by construction).
+    """
+    n = F.size(verts)
+    nxt = F.concat(F.slice(verts, 2, n - 1), F.array(F.element_at(verts, 1)))
+    cross = lambda a, b: a["x"] * b["y"] - b["x"] * a["y"]  # noqa: E731
+    zero = F.lit(0).cast("long")
+    area2 = F.aggregate(
+        F.zip_with(verts, nxt, cross), zero, lambda acc, t: acc + t
+    )
+    sx6 = F.aggregate(
+        F.zip_with(verts, nxt, lambda a, b: (a["x"] + b["x"]) * cross(a, b)),
+        zero,
+        lambda acc, t: acc + t,
+    )
+    sy6 = F.aggregate(
+        F.zip_with(verts, nxt, lambda a, b: (a["y"] + b["y"]) * cross(a, b)),
+        zero,
+        lambda acc, t: acc + t,
+    )
+    return {"area2": area2, "sx6": sx6, "sy6": sy6}

@@ -1027,3 +1027,86 @@ def cooccur_pmi(
     return out.select(
         "a", "b", "n_ab", "n_a", "n_b", F.round(ratio, 6).alias("pmi_ratio")
     )
+
+
+def dsir_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    log_form: bool = False,
+) -> DataFrame:
+    """☆ DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every corpus
+    document by how target-like its hashed unigram features are, so a
+    training mix can resample raw crawl toward a small trusted target set.
+
+    Features are salted-hash buckets of whitespace tokens (the paper's
+    hashed n-gram reduction). Two flavors:
+
+    - ratio form (default): ``score = sum_t cnt_target[b(t)] * R /
+      (sum_t cnt_raw[b(t)] * T)`` with R/T the global token totals —
+      one integer-exact numerator/denominator pair and a single IEEE
+      division, reproducible bit-for-bit in any engine (the same
+      log-avoidance trick as cooccur_pmi; see queries.py parity rules).
+    - log form (``log_form=True``): the paper's actual importance
+      log-weight ``sum_t log((cnt_t+1)/(T+B)) - log((cnt_r+1)/(R+B))``
+      — use for production resampling, not for cross-engine oracles
+      (libm log is not guaranteed identical across engines).
+
+    Scale shape: both distributions aggregate to ``n_buckets`` rows —
+    broadcast-sized sidecars joined onto the exploded token stream
+    (map-side, no shuffle of text); the per-doc rollup shuffles only
+    (id, two longs). The target set is typically 10^4-10^6 docs vs a
+    10^12 raw corpus; it is scanned once.
+    """
+    from .dedup import h56_expr
+
+    def toks(df: DataFrame, *cols: str) -> DataFrame:
+        return df.select(*cols, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+
+    bucket = (F.pmod(h56_expr(F.col("tok"), salt), F.lit(n_buckets))).alias("b")
+    raw_toks = toks(corpus, id_col).select(id_col, bucket)
+    tgt_counts = (
+        toks(target).select(bucket).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw_counts = raw_toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot_t = tgt_counts.agg(F.sum("ct").alias("tt"))
+    tot_r = raw_counts.agg(F.sum("cr").alias("tr"))
+    joined = (
+        raw_toks.join(F.broadcast(tgt_counts), "b", "left")
+        .join(F.broadcast(raw_counts), "b")
+        .select(id_col, F.coalesce("ct", F.lit(0)).alias("ct"), "cr")
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("ct").alias("sum_target"),
+        F.sum("cr").alias("sum_raw"),
+    )
+    out = per_doc.crossJoin(F.broadcast(tot_t)).crossJoin(F.broadcast(tot_r))
+    if log_form:
+        score = (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + n_buckets).cast("double"))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + n_buckets).cast("double"))
+        )
+        logw = joined.crossJoin(F.broadcast(tot_t)).crossJoin(F.broadcast(tot_r)).select(
+            id_col, score.alias("s")
+        )
+        return logw.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_tokens"), F.sum("s").alias("log_weight")
+        )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "sum_target",
+        "sum_raw",
+        # cast each factor to double BEFORE multiplying: integer products
+        # overflow BIGINT at corpus scale (sum*total ~ 1e23), and the
+        # double multiply/divide chain is identical IEEE in any engine
+        (
+            (F.col("sum_target").cast("double") * F.col("tr").cast("double"))
+            / (F.col("sum_raw").cast("double") * F.col("tt").cast("double"))
+        ).alias("score"),
+    )

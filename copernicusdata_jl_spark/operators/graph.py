@@ -118,3 +118,57 @@ def pagerank(
     has_out.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of the UNDIRECTED simple graph induced by
+    ``edges`` (direction, self-loops and parallel edges are normalized
+    away first). Returns one row ``(n_nodes, n_edges, n_triangles)`` —
+    the clustering signal a host-graph quality prior feeds on (link-farm
+    neighborhoods are triangle-dense, legitimate hub/authority
+    neighborhoods are star-like).
+
+    Scale shape — degree-ordered wedge enumeration (the MapReduce-classic
+    Suri & Vassilvitskii 2011 orientation): every edge is directed from
+    its lower-(degree, id) endpoint to the higher one, making the
+    oriented out-degree O(sqrt(E)) even for celebrity nodes. Each wedge
+    (a→b, a→c) is then generated exactly once at its lowest-rank apex,
+    and one join back onto the oriented edge set closes it. Two shuffle
+    joins + one aggregate, no cartesian, skew bounded by the orientation
+    — the standard plan that survives power-law host graphs at 10^10
+    edges.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = und.join(da, "a").join(db, "b")
+    lower_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    e1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("u"))
+    e2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("w"))
+    wedges = e1.join(e2, "apex").filter(F.col("u") < F.col("w"))
+    # the closing-edge set is exactly the normalized undirected edge set
+    closing = und.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    tri = wedges.join(closing, ["u", "w"], "left_semi")
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    nedges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    ntri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return nodes.crossJoin(nedges).crossJoin(ntri)

@@ -238,3 +238,54 @@ def tile_pyramid(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def compact_cells_df(
+    cells_df: DataFrame,
+    cell_col: str = "cell_id",
+    *,
+    from_res: int,
+    to_res: int,
+) -> DataFrame:
+    """Distributed cover compaction (H3 ``compact_cells`` semantics on the
+    EQC quadtree, reference SURVEY §2.8 ☆): given a set of cells at uniform
+    ``from_res``, repeatedly replace any complete sibling quad (all 4
+    children of one parent present) with the parent, down to ``to_res``.
+    The driver-side NumPy twin is functions/cells.compact_cells; this is
+    the DataFrame flavor for covers too large to collect (a continental
+    polygon at res 12+, or a corpus-derived occupancy mask).
+
+    Returns ``(res, cell_id)`` — the mixed-resolution compacted cover.
+
+    Scale shape: one Exchange per level, not three — each level sorts by
+    the parent key ONCE (window count over parent), the keep/promote
+    split is map-side on the counted rows, and the promoted-parent dedup
+    reuses the window's hash partitioning (Catalyst sees the distribution
+    satisfied, so dropDuplicates adds no shuffle). Input shrinks ≥4× per
+    promoted level, so the level loop's total cost is a constant factor
+    of the first level. Promotion cascades exactly like the driver twin:
+    a parent promoted at level r re-enters the quad test at r-1.
+    """
+    from pyspark.sql import Window
+
+    if from_res <= to_res:
+        raise ValueError("from_res must be > to_res")
+    cur = cells_df.select(F.col(cell_col).alias("cell_id")).distinct()
+    kept: list[DataFrame] = []
+    for r in range(from_res, to_res, -1):
+        t = cur.select(
+            "cell_id",
+            cells.cell_parent_expr(F.col("cell_id"), r, r - 1).alias("parent"),
+        ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("parent")))
+        kept.append(
+            t.filter(F.col("n") < 4).select(F.lit(r).alias("res"), "cell_id")
+        )
+        cur = (
+            t.filter(F.col("n") == 4)
+            .select(F.col("parent").alias("cell_id"))
+            .dropDuplicates(["cell_id"])
+        )
+    out = cur.select(F.lit(to_res).alias("res"), "cell_id")
+    for k in kept:
+        out = out.unionByName(k)
+    return out

@@ -857,6 +857,11 @@ from .queries_analytics import ANALYTICS_REGISTRY as _ANALYTICS
 
 REGISTRY.update(_ANALYTICS)
 
+# round-5 second wave (compaction/shoelace/retention/gap-fill/DSIR/triangles/skyline)
+from .queries_r5b import R5B_REGISTRY as _R5B
+
+REGISTRY.update(_R5B)
+
 # ---------------------------------------------------------------------------
 # driver-gate accountability (VERDICT r4 "What's wrong" #1): the correctness
 # driver snapshots the FIRST 50 registry entries in dict order, and has
@@ -869,6 +874,13 @@ REGISTRY.update(_ANALYTICS)
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY: list[str] = [
     # round-5 additions — never driver-checked, newest first
+    "cell_compact",
+    "polygon_stats",
+    "retention_cohorts",
+    "gap_fill",
+    "dsir_weights",
+    "triangle_count",
+    "skyline_2d",
     "funnel_steps",
     "geohash_encode",
     "session_window_agg",

@@ -1,0 +1,365 @@
+"""☆ Round-5 second wave: distributed cover compaction, exact polygon
+shoelace stats, retention cohorts, calendar gap-fill, DSIR importance
+scoring, host-graph triangle counting, and a 2-D skyline — the remaining
+classic derived views of the geospatial + training-data pipeline.
+
+Parity rules as in queries.py: integer arithmetic end-to-end wherever
+possible (shoelace sums fold INSIDE arrays so no float-sum ordering can
+diverge), one-IEEE-op divisions for every ratio, identical column aliases
+both sides, explicit BIGINT casts for DuckDB's HUGEINT sums, and the
+portable md5-prefix hash (operators/dedup.h56) for any hashed feature.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import cells
+from .functions.geo import ring_shoelace_cols
+from .geo_events import GEO_EVENTS_SQL, geotagged_events
+from .operators.analytics import gap_fill_days, retention_cohorts, skyline2d
+from .operators.dedup import h56_sql
+from .queries_ext import load
+
+# ---------------------------------------------------------------------------
+# distributed cover compaction (EQC quadtree, H3 compact_cells semantics)
+# ---------------------------------------------------------------------------
+
+_COMPACT_FINE, _COMPACT_COARSE = 7, 5
+
+
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Distributed cover compaction (operators/spatial_join.
+    compact_cells_df): the occupancy mask of the geotagged event stream at
+    res 7, compacted to mixed resolution — complete sibling quads promote
+    to their parent, cascading down to res 5. One Exchange per level; the
+    reference's driver-side compact (functions/cells.compact_cells twin of
+    its notebook covers) cannot hold a continental res-12 mask, this can."""
+    from .operators.spatial_join import compact_cells_df
+
+    ev = geotagged_events(spark, sf_dir)
+    cel = ev.select(
+        cells.latlng_to_cell_expr("lat", "lon", _COMPACT_FINE).alias("cell_id")
+    )
+    out = compact_cells_df(
+        cel, "cell_id", from_res=_COMPACT_FINE, to_res=_COMPACT_COARSE
+    )
+    return out.orderBy("res", "cell_id")
+
+
+def _cell_compact_sql(fine: int = _COMPACT_FINE, coarse: int = _COMPACT_COARSE) -> str:
+    parts = [
+        f"""WITH g AS (SELECT lat, lon FROM {GEO_EVENTS_SQL} ge),
+c{fine} AS (SELECT DISTINCT {cells.latlng_to_cell_sql("lat", "lon", fine)} AS cell_id FROM g)"""
+    ]
+    selects = []
+    for r in range(fine, coarse, -1):
+        parts.append(
+            f""",
+t{r} AS (SELECT cell_id, {cells.cell_parent_sql("cell_id", r, r - 1)} AS parent FROM c{r}),
+n{r} AS (SELECT parent, COUNT(*) AS n FROM t{r} GROUP BY parent),
+k{r} AS (SELECT {r} AS res, t{r}.cell_id FROM t{r} JOIN n{r} USING (parent) WHERE n < 4),
+c{r - 1} AS (SELECT DISTINCT parent AS cell_id FROM t{r} JOIN n{r} USING (parent) WHERE n = 4)"""
+        )
+        selects.append(f"SELECT res, cell_id FROM k{r}")
+    selects.append(f"SELECT {coarse} AS res, cell_id FROM c{coarse}")
+    union = "\nUNION ALL\n".join(selects)
+    return f"{''.join(parts)}\nSELECT res, cell_id FROM ({union}) u ORDER BY res, cell_id"
+
+
+# ---------------------------------------------------------------------------
+# exact polygon stats (integer shoelace area + centroid)
+# ---------------------------------------------------------------------------
+
+
+def _notch_params(k):
+    """Shared vertex-parameter arithmetic for the 8-vertex notched
+    rectangles (CCW, notch cut downward from the top edge)."""
+    return {
+        "x0": (k * 7) % 50,
+        "y0": (k * 11) % 40,
+        "w": 12 + k % 13,
+        "h": 10 + k % 9,
+        "no": 3 + k % 3,
+        "nw": 2 + k % 5,
+        "nd": 2 + k % 4,
+    }
+
+
+def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Exact polygon area + centroid (functions/geo.ring_shoelace_cols):
+    one notched rectangle per nation, vertices from integer arithmetic;
+    signed area and centroid computed as BIGINT shoelace folds INSIDE the
+    vertex array (zip_with + aggregate — sequential fold, engine-exact),
+    centroid as single IEEE divisions. The exact-geometry layer under the
+    reference's granule-footprint handling (fixtures.footprints rings)."""
+    k = F.col("n_nationkey").cast("long")
+    p = _notch_params(k)
+    x0, y0, w, h, no, nw, nd = (p[c] for c in ("x0", "y0", "w", "h", "no", "nw", "nd"))
+    vx = [x0, x0 + w, x0 + w, x0 + no + nw, x0 + no + nw, x0 + no, x0 + no, x0]
+    vy = [y0, y0, y0 + h, y0 + h, y0 + h - nd, y0 + h - nd, y0 + h, y0 + h]
+    verts = F.array(
+        *[F.struct(x.alias("x"), y.alias("y")) for x, y in zip(vx, vy)]
+    )
+    s = ring_shoelace_cols(verts)
+    a2 = s["area2"]
+    return (
+        load(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("poly_id"),
+            a2.alias("area2"),
+            (s["sx6"].cast("double") / (F.lit(3.0) * a2.cast("double"))).alias("cx"),
+            (s["sy6"].cast("double") / (F.lit(3.0) * a2.cast("double"))).alias("cy"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+_POLYGON_STATS_SQL = """
+WITH p AS (
+  SELECT n_nationkey AS poly_id,
+         (n_nationkey * 7) % 50 AS x0, (n_nationkey * 11) % 40 AS y0,
+         12 + n_nationkey % 13 AS w, 10 + n_nationkey % 9 AS h,
+         3 + n_nationkey % 3 AS no, 2 + n_nationkey % 5 AS nw, 2 + n_nationkey % 4 AS nd
+  FROM nation
+),
+v AS (
+  SELECT poly_id, j,
+    CAST(CASE j WHEN 0 THEN x0 WHEN 1 THEN x0 + w WHEN 2 THEN x0 + w
+                WHEN 3 THEN x0 + no + nw WHEN 4 THEN x0 + no + nw
+                WHEN 5 THEN x0 + no WHEN 6 THEN x0 + no WHEN 7 THEN x0 END AS BIGINT) AS x,
+    CAST(CASE j WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y0 + h WHEN 3 THEN y0 + h
+                WHEN 4 THEN y0 + h - nd WHEN 5 THEN y0 + h - nd
+                WHEN 6 THEN y0 + h WHEN 7 THEN y0 + h END AS BIGINT) AS y
+  FROM p, generate_series(0, 7) AS t(j)
+),
+e AS (
+  SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM v a JOIN v b ON b.poly_id = a.poly_id AND b.j = (a.j + 1) % 8
+),
+s AS (
+  SELECT poly_id,
+         CAST(SUM(x1 * y2 - x2 * y1) AS BIGINT) AS area2,
+         CAST(SUM((x1 + x2) * (x1 * y2 - x2 * y1)) AS BIGINT) AS sx6,
+         CAST(SUM((y1 + y2) * (x1 * y2 - x2 * y1)) AS BIGINT) AS sy6
+  FROM e GROUP BY poly_id
+)
+SELECT poly_id, area2,
+       CAST(sx6 AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) AS cx,
+       CAST(sy6 AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) AS cy
+FROM s ORDER BY poly_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Weekly retention triangle (operators/analytics.retention_cohorts):
+    cohort = epoch-week of first activity; integer week math end-to-end,
+    the rate is the only float op (one division)."""
+    return retention_cohorts(load(spark, sf_dir, "events")).orderBy(
+        "cohort_week", "week_offset"
+    )
+
+
+_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+  FROM events
+),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+t AS (
+  SELECT cohort_week, week - cohort_week AS week_offset,
+         COUNT(DISTINCT uw.user_id) AS n_active
+  FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+),
+s AS (SELECT cohort_week, n_active AS n_cohort FROM t WHERE week_offset = 0)
+SELECT t.cohort_week, week_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_cohort AS BIGINT) AS n_cohort,
+       CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS rate
+FROM t JOIN s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# calendar gap-fill with forward fill
+# ---------------------------------------------------------------------------
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Daily gap-fill + forward fill (operators/analytics.gap_fill_days):
+    densify each sampled user's event series over its own day span and
+    carry the last observed value across gaps — the tabular twin of the
+    reference's missing-value interpolation (functions/interp.py, T7)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    return gap_fill_days(ev, "user_id", "ts", F.col("value")).orderBy("key", "day")
+
+
+_GAP_FILL_SQL = """
+WITH obs AS (
+  SELECT user_id AS key,
+         CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+         MIN(value) AS v
+  FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2
+),
+b AS (SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY key),
+grid AS (SELECT key, unnest(generate_series(d0, d1)) AS day FROM b)
+SELECT g.key, g.day,
+       LAST_VALUE(o.v IGNORE NULLS) OVER (
+         PARTITION BY g.key ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       CASE WHEN o.v IS NULL THEN 0 ELSE 1 END AS observed
+FROM grid g LEFT JOIN obs o ON o.key = g.key AND o.day = g.day
+ORDER BY g.key, g.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scoring (hashed unigram features, ratio form)
+# ---------------------------------------------------------------------------
+
+_DSIR_B, _DSIR_SALT = 1024, "dsir"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ DSIR-style importance scores (operators/corpus.dsir_scores; Xie
+    et al. 2023): hashed-unigram target/raw likelihood ratio per document,
+    target = the English slice. Ratio form — integer-exact numerators,
+    one IEEE division (the cooccur_pmi log-avoidance trick)."""
+    from .operators.corpus import dsir_scores
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_scores(
+        docs, target, n_buckets=_DSIR_B, salt=_DSIR_SALT
+    ).orderBy("doc_id")
+
+
+def _dsir_sql(b: int = _DSIR_B, salt: str = _DSIR_SALT) -> str:
+    hb = h56_sql("tok", salt)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tb AS (SELECT doc_id, lang, {hb} % {b} AS b FROM tok),
+tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+raw AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b),
+tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tgt),
+tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr FROM raw),
+j AS (
+  SELECT doc_id, COALESCE(ct, 0) AS ct, cr
+  FROM tb LEFT JOIN tgt USING (b) JOIN raw USING (b)
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(ct) AS BIGINT) AS sum_target,
+         CAST(SUM(cr) AS BIGINT) AS sum_raw
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_target, sum_raw,
+       (CAST(sum_target AS DOUBLE) * CAST(tr AS DOUBLE))
+       / (CAST(sum_raw AS DOUBLE) * CAST(tt AS DOUBLE)) AS score
+FROM pd, tt, tr ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# host-graph triangle count
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Triangle census of the host link graph (operators/graph.
+    triangle_count): degree-ordered wedge enumeration — the clustering
+    prior next to pagerank_hosts. Edges are the same consecutive-crawl
+    host transitions; the oracle enumerates a<b<c directly."""
+    from .operators.graph import triangle_count
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    a, b = d.alias("a"), d.alias("b")
+    edges = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.source") != F.col("b.source"))
+        .select(F.col("a.source").alias("src"), F.col("b.source").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+_TRIANGLE_SQL = """
+WITH e0 AS (
+  SELECT a.source AS s, b.source AS t
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.source <> b.source
+),
+und AS (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b FROM e0),
+nodes AS (
+  SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS n_nodes
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) q
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_nodes, n_edges, n_triangles FROM nodes, ne, tri
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Pareto frontier (operators/analytics.skyline2d): 1996-H1 line
+    items, minimize price / maximize quantity — one window over distinct
+    points instead of the oracle's quadratic NOT EXISTS."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    )
+    return skyline2d(li, "l_extendedprice", "l_quantity").orderBy(
+        "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+
+
+_SKYLINE_SQL = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+)
+SELECT * FROM s p
+WHERE NOT EXISTS (
+  SELECT 1 FROM s q
+  WHERE q.l_extendedprice <= p.l_extendedprice AND q.l_quantity >= p.l_quantity
+    AND (q.l_extendedprice < p.l_extendedprice OR q.l_quantity > p.l_quantity)
+)
+ORDER BY l_extendedprice, l_quantity, l_orderkey, l_linenumber
+"""
+
+
+R5B_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "cell_compact": (q_cell_compact, _cell_compact_sql()),
+    "polygon_stats": (q_polygon_stats, _POLYGON_STATS_SQL),
+    "retention_cohorts": (q_retention_cohorts, _RETENTION_SQL),
+    "gap_fill": (q_gap_fill, _GAP_FILL_SQL),
+    "dsir_weights": (q_dsir_weights, _dsir_sql()),
+    "triangle_count": (q_triangle_count, _TRIANGLE_SQL),
+    "skyline_2d": (q_skyline, _SKYLINE_SQL),
+}

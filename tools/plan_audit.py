@@ -47,6 +47,8 @@ NESTED_LOOP_OK = {
     "gopher_rules", "stratified_sample", "corpus_diff", "incremental_dedup",
     "snapshot_delete", "snapshot_upsert",
     "cooccur_pmi",      # total-pair-slots scalar
+    "dsir_weights",     # global token-total scalars (tt, tr)
+    "triangle_count",   # three one-row census scalars crossed at the end
     # intentional exact-baseline cross products (the candidate set IS all
     # (query, base) pairs — these exist as oracle foils for the ANN/kNN
     # approximate paths, never as the scale path)
