@@ -103,6 +103,18 @@ HEADLINE = [
     # warc_scan and nc3_scan stay out (driver-side fixture write is
     # catalog-scale by contract — the timed part would be the fixture)
     "snapshot_pointread",
+    # round-5 second wave; triangle_count stays out like pagerank_hosts
+    # (multi-join census over a 20-node host graph = job scheduling)
+    "cell_compact",
+    "polygon_stats",
+    "retention_cohorts",
+    "gap_fill",
+    "dsir_weights",
+    "skyline_2d",
+    "quadkey_tiles",
+    "fuzzy_match",
+    "tfidf_topterms",
+    "value_histogram",
 ]
 
 

@@ -135,3 +135,61 @@ def geohash_py(lat: float, lon: float, precision: int = 8) -> str:
         for i in range(lon_bits):
             z |= ((lonq >> i) & 1) << (2 * i + 1)
     return "".join(ALPHABET[(z >> (5 * (precision - 1 - i))) & 31] for i in range(precision))
+
+
+# ---------------------------------------------------------------------------
+# Quadkey — base-4 web-tile key (Bing/slippy-map addressing convention)
+# ---------------------------------------------------------------------------
+#
+# Like the geohash above but base 4: one digit per zoom level, digit =
+# 2*y_bit + x_bit, MSB first, so a tile's key is a string PREFIX of every
+# descendant's key — `substr(quadkey, 1, z)` is the level-z parent and a
+# prefix range scan enumerates a subtree. Grid is the equirectangular
+# 2^z × 2^z quantization (top-left origin, matching the tile convention);
+# the canonical Bing flavor uses Web-Mercator y — that differs only in the
+# y quantization formula, which needs ln/tan (libm — NOT engine-portable;
+# see queries.py parity rules), so the portable EQC flavor is the default
+# and the Mercator variant is a one-line substitution for consumers that
+# need slippy-map alignment over a single engine.
+
+
+def quadkey_expr(lat: Column, lon: Column, levels: int = 8) -> Column:
+    n = 1 << levels
+    qx = F.greatest(
+        F.least(F.floor((lon + F.lit(180.0)) / 360.0 * n), F.lit(float(n - 1))),
+        F.lit(0.0),
+    ).cast("long")
+    qy = F.greatest(
+        F.least(F.floor((F.lit(90.0) - lat) / 180.0 * n), F.lit(float(n - 1))),
+        F.lit(0.0),
+    ).cast("long")
+    digits = [
+        (
+            F.shiftright(qx, levels - i).bitwiseAND(F.lit(1))
+            + F.lit(2) * F.shiftright(qy, levels - i).bitwiseAND(F.lit(1))
+        ).cast("string")
+        for i in range(1, levels + 1)
+    ]
+    return F.concat(*digits)
+
+
+def quadkey_sql(lat: str, lon: str, levels: int = 8) -> str:
+    n = 1 << levels
+    qx = f"CAST(GREATEST(LEAST(FLOOR(({lon} + 180.0) / 360.0 * {n}), {n - 1}), 0) AS BIGINT)"
+    qy = f"CAST(GREATEST(LEAST(FLOOR((90.0 - {lat}) / 180.0 * {n}), {n - 1}), 0) AS BIGINT)"
+    digits = " || ".join(
+        f"CAST((({qx} >> {levels - i}) & 1) + 2 * (({qy} >> {levels - i}) & 1) AS VARCHAR)"
+        for i in range(1, levels + 1)
+    )
+    return f"({digits})"
+
+
+def quadkey_py(lat: float, lon: float, levels: int = 8) -> str:
+    """Driver-side twin for tests."""
+    n = 1 << levels
+    qx = int(max(min((lon + 180.0) / 360.0 * n // 1, n - 1), 0))
+    qy = int(max(min((90.0 - lat) / 180.0 * n // 1, n - 1), 0))
+    return "".join(
+        str(((qx >> (levels - i)) & 1) + 2 * ((qy >> (levels - i)) & 1))
+        for i in range(1, levels + 1)
+    )

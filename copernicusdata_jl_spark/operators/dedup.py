@@ -259,19 +259,16 @@ def simhash(
     return votes.select(id_col, simhash_value_expr(bits).alias("simhash"))
 
 
-def simhash_neardup(
-    df: DataFrame,
+def simhash_band_pairs(
+    sh: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
     bits: int = 16,
     band_bits: int = 4,
-    max_hamming: int = 2,
-    fast: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the ``bits``-bit simhash into
-    ``bits/band_bits`` chunks (a pair within Hamming ≤ chunks-1 shares ≥1
-    chunk), join on chunk, verify exact Hamming ≤ ``max_hamming``."""
-    sh = simhash(df, id_col, text_col, bits, fast=fast)
+    """Distinct candidate ``(id_a < id_b, sh_a, sh_b)`` pairs sharing at
+    least one ``band_bits``-wide simhash chunk (a pair within Hamming ≤
+    chunks-1 is guaranteed to share one). Shuffles only (id, band, key)
+    — fingerprints, never text."""
     chunks = bits // band_bits
     mask = (1 << band_bits) - 1
     structs = [
@@ -285,7 +282,7 @@ def simhash_neardup(
         id_col, "simhash", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    return (
         a.join(b, ["band", "key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -296,9 +293,61 @@ def simhash_neardup(
         )
         .distinct()
     )
+
+
+def simhash_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 2,
+    fast: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the ``bits``-bit simhash into
+    ``bits/band_bits`` chunks (a pair within Hamming ≤ chunks-1 shares ≥1
+    chunk), join on chunk, verify exact Hamming ≤ ``max_hamming``."""
+    sh = simhash(df, id_col, text_col, bits, fast=fast)
+    pairs = simhash_band_pairs(sh, id_col, bits, band_bits)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
+    )
+
+
+def fuzzy_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    band_bits: int = 4,
+    max_dist: int = 40,
+    fast: bool = True,
+) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: SimHash band candidates →
+    BOUNDED Levenshtein verification (``levenshtein(a, b, threshold)``,
+    Spark 3.5+ — O(threshold·n) banded DP instead of the O(n²) full
+    matrix, and it early-outs on the length-difference bound). Returns
+    ``(id_a, id_b, dist)`` with ``dist ≤ max_dist``.
+
+    Scale shape: the candidate generator shuffles only ids + fingerprints;
+    text is joined back ONLY for surviving candidate pairs (two hash joins
+    keyed by id), and the verify kernel is JVM codegen — no Python, no
+    cartesian. Cross-engine note: Spark's Levenshtein counts CODEPOINTS,
+    DuckDB's counts BYTES — identical on ASCII corpora (the oracle
+    fixture is pure ASCII; non-ASCII corpora need a byte-level cast on
+    the Spark side for parity)."""
+    sh = simhash(df, id_col, text_col, bits, fast=fast)
+    pairs = simhash_band_pairs(sh, id_col, bits, band_bits).select("id_a", "id_b")
+    txt = df.select(F.col(id_col), F.col(text_col))
+    a = txt.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = txt.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", dist.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
 
 

@@ -881,6 +881,10 @@ _DRIVER_PRIORITY: list[str] = [
     "dsir_weights",
     "triangle_count",
     "skyline_2d",
+    "quadkey_tiles",
+    "fuzzy_match",
+    "tfidf_topterms",
+    "value_histogram",
     "funnel_steps",
     "geohash_encode",
     "session_window_agg",

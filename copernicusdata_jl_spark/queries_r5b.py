@@ -363,3 +363,189 @@ R5B_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "triangle_count": (q_triangle_count, _TRIANGLE_SQL),
     "skyline_2d": (q_skyline, _SKYLINE_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# wave 2: quadkey tiles, fuzzy edit-distance dedup, TF-IDF, histogram/CDF
+# ---------------------------------------------------------------------------
+
+_QK_LEVELS, _QK_PREFIX = 8, 3
+
+
+def q_quadkey_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Quadkey tile rollup (functions/geohash.quadkey_expr): base-4
+    web-tile string keys per event — prefix-hierarchical, so the level-3
+    parent is substr(qk, 1, 3) and the rollup is a plain string groupBy;
+    the string twin of tile_pyramid's integer cell chain."""
+    from .functions.geohash import quadkey_expr
+
+    ev = geotagged_events(spark, sf_dir)
+    qk = ev.select(quadkey_expr(F.col("lat"), F.col("lon"), _QK_LEVELS).alias("qk"))
+    return (
+        qk.groupBy(F.substring("qk", 1, _QK_PREFIX).alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("qk").alias("n_subtiles"),
+        )
+        .orderBy("tile")
+    )
+
+
+def _quadkey_sql() -> str:
+    from .functions.geohash import quadkey_sql
+
+    qk = quadkey_sql("lat", "lon", _QK_LEVELS)
+    return f"""
+WITH g AS (SELECT lat, lon FROM {GEO_EVENTS_SQL} ge),
+q AS (SELECT {qk} AS qk FROM g)
+SELECT substr(qk, 1, {_QK_PREFIX}) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT qk) AS BIGINT) AS n_subtiles
+FROM q GROUP BY 1 ORDER BY tile
+"""
+
+
+_FUZZY_BITS, _FUZZY_BAND_BITS, _FUZZY_MAX_DIST = 32, 16, 120
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Edit-distance-verified near-dup (operators/dedup.fuzzy_neardup):
+    SimHash 16-bit band candidates, bounded-Levenshtein verify (JVM
+    banded DP, O(threshold·n)) — the fuzzy tier between exact digest
+    dedup and MinHash resemblance."""
+    from .operators.dedup import fuzzy_neardup
+
+    return fuzzy_neardup(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bits=_FUZZY_BITS,
+        band_bits=_FUZZY_BAND_BITS,
+        max_dist=_FUZZY_MAX_DIST,
+        fast=False,
+    ).orderBy("id_a", "id_b")
+
+
+def _fuzzy_sql() -> str:
+    from .queries_ext import _simhash_sql
+
+    base = _simhash_sql().replace("ORDER BY doc_id", "")
+    chunks = _FUZZY_BITS // _FUZZY_BAND_BITS
+    mask = (1 << _FUZZY_BAND_BITS) - 1
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {c} AS band, (simhash >> {c * _FUZZY_BAND_BITS}) & {mask} AS key FROM sh"
+        for c in range(chunks)
+    )
+    return f"""
+WITH base AS ({base}),
+sh AS (SELECT doc_id, simhash FROM base),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, key) WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, levenshtein(da.text, db.text) AS dist
+FROM pairs
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+WHERE levenshtein(da.text, db.text) <= {_FUZZY_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+
+
+_TFIDF_K = 5
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Per-document top-k TF-IDF terms, inverse-frequency score in the
+    engine-exact ratio form ``tf·N/df`` (tf·N is an exact BIGINT, the
+    division is the single float op — the cooccur_pmi log-avoidance
+    trick; ln-damped IDF would need libm). Ranking ties break on term.
+    Scale: tf and df are two hash aggregates over (doc, tok) / (tok);
+    the join is keyed by tok (vocabulary-sized); the top-k window
+    shuffles (doc_id, tok, 2 longs)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", "tf", "df", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .orderBy("doc_id", "rank")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, tok, tf, df,
+         CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC, tok ASC) AS rank
+  FROM tf JOIN dfreq USING (tok), n
+)
+SELECT doc_id, tok, tf, df, score, CAST(rank AS INT) AS rank
+FROM s WHERE rank <= {_TFIDF_K} ORDER BY doc_id, rank
+"""
+
+_HIST_WIDTH, _HIST_BUCKETS = 25.0, 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Equi-width histogram + CDF of the event value column: integer
+    bucket math (floor-div, clamped), BIGINT cumulative sums via a
+    running window, one division for the CDF fraction."""
+    b = F.least(
+        F.greatest(F.floor(F.col("value") / _HIST_WIDTH).cast("long"), F.lit(0)),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    from pyspark.sql import Window
+
+    hist = (
+        load(spark, sf_dir, "events")
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return hist.select(
+        "bucket",
+        (F.col("bucket").cast("double") * _HIST_WIDTH).alias("lo"),
+        "n",
+        F.sum("n").over(wcum).alias("cum_n"),
+        (F.sum("n").over(wcum).cast("double") / F.sum("n").over(wall).cast("double")).alias("cdf"),
+    ).orderBy("bucket")
+
+
+_HIST_SQL = f"""
+WITH h AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(value / {_HIST_WIDTH}) AS BIGINT), 0), {_HIST_BUCKETS - 1}) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT bucket, CAST(bucket AS DOUBLE) * {_HIST_WIDTH} AS lo, n,
+       CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / CAST(SUM(n) OVER () AS DOUBLE) AS cdf
+FROM h ORDER BY bucket
+"""
+
+R5B_REGISTRY.update(
+    {
+        "quadkey_tiles": (q_quadkey_tiles, _quadkey_sql()),
+        "fuzzy_match": (q_fuzzy_match, _fuzzy_sql()),
+        "tfidf_topterms": (q_tfidf_topterms, _TFIDF_SQL),
+        "value_histogram": (q_value_histogram, _HIST_SQL),
+    }
+)

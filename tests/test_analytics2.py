@@ -256,3 +256,99 @@ def test_dsir_scores_orders_target_like_docs(spark):
         for r in dsir_scores(docs, target, n_buckets=64, log_form=True).collect()
     }
     assert lg[1] > lg[3] and lg[2] > lg[3]
+
+
+# ---------------------------------------------------------------------------
+# wave 2: quadkey, fuzzy near-dup, tf-idf, histogram
+# ---------------------------------------------------------------------------
+
+
+def test_quadkey_expr_matches_python_twin(spark):
+    from copernicusdata_jl_spark.functions.geohash import quadkey_expr, quadkey_py
+
+    pts = [(48.8584, 2.2945), (-33.8568, 151.2153), (89.999, 179.999),
+           (-89.999, -179.999), (0.0, 0.0), (90.0, 180.0), (-90.0, -180.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = [
+        r["qk"]
+        for r in df.select(
+            quadkey_expr(F.col("lat"), F.col("lon"), 8).alias("qk")
+        ).collect()
+    ]
+    assert got == [quadkey_py(lat, lon, 8) for lat, lon in pts]
+    # prefix-hierarchy: level-3 key is the prefix of the level-8 key
+    df3 = df.select(
+        quadkey_expr(F.col("lat"), F.col("lon"), 3).alias("q3"),
+        quadkey_expr(F.col("lat"), F.col("lon"), 8).alias("q8"),
+    )
+    for r in df3.collect():
+        assert r["q8"].startswith(r["q3"])
+
+
+def test_fuzzy_neardup_finds_planted_pair(spark):
+    from copernicusdata_jl_spark.operators.dedup import fuzzy_neardup
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "hazy", 2)),      # 2 edits
+        (3, "completely different content " + "x y z w " * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_neardup(
+        docs, bits=16, band_bits=4, max_dist=10, fast=True
+    ).collect()}
+    assert got.get((1, 2)) == 2
+    assert all(3 not in k for k in got)
+
+
+def test_fuzzy_neardup_bounded_distance_is_exact(spark):
+    from copernicusdata_jl_spark.operators.dedup import fuzzy_neardup
+
+    rows = [(1, "abcdefgh"), (2, "abXdefgh"), (3, "abcdefghXY")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_neardup(
+        docs, bits=16, band_bits=1, max_dist=5, fast=True  # 1-bit bands: all pairs
+    ).collect()}
+    # true distances: (1,2)=1 substitution, (1,3)=2 inserts, (2,3)=3
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 2 and got[(2, 3)] == 3
+
+
+def test_tfidf_ranking_tiny(spark):
+    from copernicusdata_jl_spark.queries_r5b import _TFIDF_K  # noqa: F401
+
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "banana cherry shared"),
+        (3, "cherry date shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    top = (
+        tf.join(dfreq, "tok").crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+    )
+    got = {r["doc_id"]: (r["tok"], r["score"]) for r in top.collect()}
+    # doc 1: apple tf=2 df=1 -> 6.0 beats banana (tf=1, df=2 -> 1.5)
+    assert got[1] == ("apple", 6.0)
+    # doc 3: date tf=1 df=1 -> 3.0 beats cherry (df=2) and shared (df=3)
+    assert got[3] == ("date", 3.0)
+
+
+def test_value_histogram_cdf_monotone(spark):
+    from copernicusdata_jl_spark.queries_r5b import q_value_histogram
+
+    out = q_value_histogram(spark, "/root/testdata/sf0.001").collect()
+    cdfs = [r["cdf"] for r in out]
+    assert cdfs == sorted(cdfs)
+    assert abs(cdfs[-1] - 1.0) < 1e-12
+    assert sum(r["n"] for r in out) == out[-1]["cum_n"]

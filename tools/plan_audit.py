@@ -48,6 +48,7 @@ NESTED_LOOP_OK = {
     "snapshot_delete", "snapshot_upsert",
     "cooccur_pmi",      # total-pair-slots scalar
     "dsir_weights",     # global token-total scalars (tt, tr)
+    "tfidf_topterms",   # corpus-size scalar (n_docs)
     "triangle_count",   # three one-row census scalars crossed at the end
     # intentional exact-baseline cross products (the candidate set IS all
     # (query, base) pairs — these exist as oracle foils for the ANN/kNN
