@@ -115,6 +115,10 @@ HEADLINE = [
     "fuzzy_match",
     "tfidf_topterms",
     "value_histogram",
+    # dbscan_grid stays out like neardup_components (iterative
+    # pointer-jumping loop = multi-job scheduling, not a plan measurement)
+    "heatmap_kde",
+    "trajectory_stats",
 ]
 
 

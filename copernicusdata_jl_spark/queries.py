@@ -885,6 +885,9 @@ _DRIVER_PRIORITY: list[str] = [
     "fuzzy_match",
     "tfidf_topterms",
     "value_histogram",
+    "dbscan_grid",
+    "heatmap_kde",
+    "trajectory_stats",
     "funnel_steps",
     "geohash_encode",
     "session_window_agg",

@@ -549,3 +549,147 @@ R5B_REGISTRY.update(
         "value_histogram": (q_value_histogram, _HIST_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# wave 3: grid-density DBSCAN, smoothed heat map, trajectory stats
+# ---------------------------------------------------------------------------
+
+_DB_STEP, _DB_MINPTS = 5.0, 8
+_KEY_BASE = 1_000_000
+
+
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Grid-density clustering (operators/density.grid_dbscan): core
+    cells (≥ minpts events) of the 5° grid, 8-connected into clusters via
+    pointer-jumping components — per-cluster cell/point census. The event
+    table never enters the component loop; only the occupied-core mask
+    does."""
+    from .operators.density import grid_dbscan
+
+    ev = geotagged_events(spark, sf_dir)
+    return grid_dbscan(ev, step=_DB_STEP, minpts=_DB_MINPTS).orderBy("cluster_id")
+
+
+def _dbscan_sql() -> str:
+    """Oracle: recursive-CTE label closure — seed every core cell with its
+    own key, propagate labels along symmetric adjacency until the UNION
+    dedup fixpoint, take MIN(label) per cell (aggregation OUTSIDE the
+    recursion; closure size = Σ |component|², fine at oracle scale)."""
+    fwd = ", ".join(f"({dx},{dy})" for dx, dy in [(1, 0), (1, 1), (0, 1), (-1, 1)])
+    return f"""
+WITH RECURSIVE
+g AS (SELECT lat, lon FROM {GEO_EVENTS_SQL} ge),
+c AS (
+  SELECT CAST(FLOOR((lon + 180.0) / {_DB_STEP}) AS BIGINT) AS cx,
+         CAST(FLOOR((lat + 90.0) / {_DB_STEP}) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM g GROUP BY 1, 2
+),
+core AS (SELECT cx * {_KEY_BASE} + cy AS cell, n FROM c WHERE n >= {_DB_MINPTS}),
+off(dx, dy) AS (VALUES {fwd}),
+fwd AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM core a JOIN off ON TRUE
+  JOIN core b ON b.cell = a.cell + dx * {_KEY_BASE} + dy
+),
+edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+reach(cell, lab) AS (
+  SELECT cell, cell AS lab FROM core
+  UNION
+  SELECT e.dst AS cell, r.lab FROM reach r JOIN edges e ON e.src = r.cell
+),
+labels AS (SELECT cell, MIN(lab) AS cluster_id FROM reach GROUP BY cell)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_points
+FROM labels JOIN core USING (cell)
+GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+def q_heatmap_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Binomial-smoothed density surface (operators/density.
+    heatmap_smooth): integer 3×3 stencil over 5° grid counts — one
+    map-side explode of 9 weighted contributions + one hash aggregate;
+    exact BIGINT arithmetic end-to-end."""
+    from .operators.density import heatmap_smooth
+
+    ev = geotagged_events(spark, sf_dir)
+    return heatmap_smooth(ev, step=_DB_STEP).orderBy("cx", "cy")
+
+
+def _heatmap_sql() -> str:
+    from .operators.density import STENCIL
+
+    offs = ", ".join(f"({dx},{dy},{w})" for dx, dy, w in STENCIL)
+    return f"""
+WITH g AS (SELECT lat, lon FROM {GEO_EVENTS_SQL} ge),
+c AS (
+  SELECT CAST(FLOOR((lon + 180.0) / {_DB_STEP}) AS BIGINT) AS cx,
+         CAST(FLOOR((lat + 90.0) / {_DB_STEP}) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM g GROUP BY 1, 2
+),
+off(dx, dy, w) AS (VALUES {offs}),
+s AS (
+  SELECT t.cx, t.cy, CAST(SUM(src.n * o.w) AS BIGINT) AS smoothed
+  FROM c t JOIN off o ON TRUE
+  JOIN c src ON src.cx = t.cx + o.dx AND src.cy = t.cy + o.dy
+  GROUP BY t.cx, t.cy
+)
+SELECT cx, cy, n, smoothed FROM c JOIN s USING (cx, cy) ORDER BY cx, cy
+"""
+
+
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """☆ Per-user trajectory summary (operators/density.trajectory_stats):
+    time-ordered hops in IEEE-exact planar-degree km, floor-quantized to
+    integer micro-km and summed as BIGINT — totals independent of engine
+    and partition order (the cooccur_pmi parity trick applied to
+    geometry)."""
+    from .operators.density import trajectory_stats
+
+    ev = geotagged_events(spark, sf_dir)
+    return trajectory_stats(ev).orderBy("user_id")
+
+
+_TRAJ_SQL = f"""
+WITH g AS (SELECT user_id, event_id, ts, lat, lon FROM {GEO_EVENTS_SQL} ge),
+h AS (
+  SELECT user_id,
+         lat - lag(lat) OVER w AS dlat,
+         lon - lag(lon) OVER w AS dlon
+  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+d AS (
+  SELECT user_id,
+         CAST(FLOOR(SQRT(dlat * dlat + dlon * dlon) * 111.32 * 1000000.0) AS BIGINT) AS hop_um
+  FROM h WHERE dlat IS NOT NULL
+),
+a AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hops,
+         CAST(SUM(hop_um) AS BIGINT) AS dist_um,
+         CAST(SUM(hop_um) AS BIGINT) / 1000000.0 AS total_km,
+         CAST(MAX(hop_um) AS BIGINT) / 1000000.0 AS max_hop_km,
+         CAST(CAST(SUM(hop_um) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean_hop_km
+  FROM d GROUP BY user_id
+)
+SELECT u.user_id,
+       COALESCE(a.n_hops, 0) AS n_hops,
+       COALESCE(a.dist_um, 0) AS dist_um,
+       COALESCE(a.total_km, 0.0) AS total_km,
+       a.max_hop_km, a.mean_hop_km
+FROM (SELECT DISTINCT user_id FROM g) u
+LEFT JOIN a USING (user_id)
+ORDER BY user_id
+"""
+
+R5B_REGISTRY.update(
+    {
+        "dbscan_grid": (q_dbscan_grid, _dbscan_sql()),
+        "heatmap_kde": (q_heatmap_kde, _heatmap_sql()),
+        "trajectory_stats": (q_trajectory_stats, _TRAJ_SQL),
+    }
+)

@@ -352,3 +352,95 @@ def test_value_histogram_cdf_monotone(spark):
     assert cdfs == sorted(cdfs)
     assert abs(cdfs[-1] - 1.0) < 1e-12
     assert sum(r["n"] for r in out) == out[-1]["cum_n"]
+
+
+# ---------------------------------------------------------------------------
+# wave 3: grid DBSCAN, heat-map smoothing, trajectory stats
+# ---------------------------------------------------------------------------
+
+
+def test_grid_dbscan_planted_clusters(spark):
+    from copernicusdata_jl_spark.operators.density import grid_dbscan
+
+    # cluster A: two adjacent dense cells near (0,0) and (0,step);
+    # cluster B: one dense cell far away; noise: one sparse cell
+    pts = (
+        [(0.5 + i * 0.01, 0.5) for i in range(5)]
+        + [(5.5 + i * 0.01, 0.5) for i in range(5)]   # N-adjacent cell
+        + [(60.5 + i * 0.01, 60.5) for i in range(5)]
+        + [(-60.5, -60.5)]                            # noise (n=1 < minpts)
+    )
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = grid_dbscan(df, step=5.0, minpts=5).collect()
+    by_points = sorted((r["n_cells"], r["n_points"]) for r in out)
+    assert by_points == [(1, 5), (2, 10)]
+
+
+def test_grid_dbscan_diagonal_is_connected(spark):
+    from copernicusdata_jl_spark.operators.density import grid_dbscan
+
+    # two dense cells sharing only a corner (8-connectivity merges them)
+    pts = [(0.5, 0.5)] * 5 + [(5.5, 5.5)] * 5
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    out = grid_dbscan(df, step=5.0, minpts=5).collect()
+    assert len(out) == 1 and out[0]["n_cells"] == 2 and out[0]["n_points"] == 10
+
+
+def test_heatmap_smooth_stencil_exact(spark):
+    from copernicusdata_jl_spark.operators.density import heatmap_smooth
+
+    # isolated cell with 3 points: smoothed = 3*4 = 12; a pair of
+    # E-adjacent cells (2 and 1 points): 2*4+1*2=10 and 1*4+2*2=8
+    pts = [(60.5, 60.5)] * 3 + [(0.5, 0.5)] * 2 + [(0.5, 5.5)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = {(r["cx"], r["cy"]): (r["n"], r["smoothed"])
+           for r in heatmap_smooth(df, step=5.0).collect()}
+    assert len(got) == 3
+    vals = sorted(got.values())
+    assert vals == [(1, 8), (2, 10), (3, 12)]
+
+
+def test_trajectory_stats_known_path(spark):
+    from copernicusdata_jl_spark.operators.density import trajectory_stats
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two hops of 1.0 and 2.0 degrees along lon
+        (1, 1, t0, 0.0, 0.0),
+        (1, 2, t0 + dt.timedelta(minutes=1), 0.0, 1.0),
+        (1, 3, t0 + dt.timedelta(minutes=2), 0.0, 3.0),
+        # user 2: single point -> 0 hops
+        (2, 4, t0, 10.0, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lat double, lon double"
+    )
+    got = {r["user_id"]: r for r in trajectory_stats(df).collect()}
+    r1 = got[1]
+    assert r1["n_hops"] == 2
+    assert abs(r1["total_km"] - 3 * 111.32) < 1e-6
+    assert abs(r1["max_hop_km"] - 2 * 111.32) < 1e-6
+    assert abs(r1["mean_hop_km"] - 1.5 * 111.32) < 1e-6
+    r2 = got[2]
+    assert r2["n_hops"] == 0 and r2["dist_um"] == 0 and r2["total_km"] == 0.0
+    assert r2["max_hop_km"] is None and r2["mean_hop_km"] is None
+
+
+def test_trajectory_stats_orders_by_time_not_input(spark):
+    from copernicusdata_jl_spark.operators.density import trajectory_stats
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # shuffled input: time order is 0 -> 1 -> 2 (two 1-degree hops), but
+    # input order would give hops of 2 and 1 degrees reversed sums differ
+    rows = [
+        (1, 3, t0 + dt.timedelta(minutes=2), 0.0, 2.0),
+        (1, 1, t0, 0.0, 0.0),
+        (1, 2, t0 + dt.timedelta(minutes=1), 0.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lat double, lon double"
+    )
+    r = trajectory_stats(df).collect()[0]
+    assert r["n_hops"] == 2 and abs(r["total_km"] - 2 * 111.32) < 1e-6
