@@ -44,8 +44,8 @@ from .components import connected_components
 
 __all__ = ["grid_cells", "grid_dbscan", "heatmap_smooth", "trajectory_stats"]
 
-# one key dimension must exceed the grid width; 10^6 covers any step
-# down to ~0.0004° longitude (2^63 / 10^6 rows of headroom on cx)
+# the low-order key digit is cy (latitude): 10^6 covers any step down to
+# 180/10^6 = 0.00018° latitude (2^63 / 10^6 of headroom on the cx digit)
 _KEY_BASE = 1_000_000
 
 # km per degree at the equator (planar-degree scale constant)
@@ -173,32 +173,27 @@ def trajectory_stats(
     IEEE primitive, so the doubles are bit-identical across engines —
     then quantized to integer micro-km (``floor(km·10⁶)``) and summed as
     BIGINT, making the per-entity totals independent of both engine and
-    partition order. Entities with a single point report 0 hops."""
+    partition order. Entities with a single point report 0 hops (NULL
+    max/mean).
+
+    One scan, one window, one aggregate: each entity's FIRST row carries
+    a NULL hop (no lag predecessor), so the unfiltered hop frame already
+    holds every entity and the NULL-skipping count/sum/max fold the 0-hop
+    case for free — no second scan, no distinct+join resurrection pass."""
     w = Window.partitionBy(id_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
     dlat = F.col(lat_col) - F.lag(lat_col).over(w)
     dlon = F.col(lon_col) - F.lag(lon_col).over(w)
     km = F.sqrt(dlat * dlat + dlon * dlon) * F.lit(_KM_PER_DEG)
     hop_um = F.floor(km * F.lit(1000000.0))
-    hops = df.select(F.col(id_col), hop_um.alias("hop_um")).filter(
-        F.col("hop_um").isNotNull()
-    )
-    n = F.count(F.lit(1))
-    tot = F.sum("hop_um")
-    return (
-        df.select(id_col)
-        .distinct()
-        .join(
-            hops.groupBy(id_col).agg(
-                n.alias("n_hops"),
-                tot.alias("dist_um"),
-                (tot / F.lit(1000000.0)).alias("total_km"),
-                (F.max("hop_um") / F.lit(1000000.0)).alias("max_hop_km"),
-                (tot.cast("double") / (n * F.lit(1000000)).cast("double")).alias(
-                    "mean_hop_km"
-                ),
-            ),
-            id_col,
-            "left",
-        )
-        .na.fill({"n_hops": 0, "dist_um": 0, "total_km": 0.0})
+    hops = df.select(F.col(id_col), hop_um.alias("hop_um"))
+    n = F.count("hop_um")  # NULL-skipping: first row per entity is NULL
+    tot = F.coalesce(F.sum("hop_um"), F.lit(0).cast("long"))
+    return hops.groupBy(id_col).agg(
+        n.alias("n_hops"),
+        tot.alias("dist_um"),
+        (tot / F.lit(1000000.0)).alias("total_km"),
+        (F.max("hop_um") / F.lit(1000000.0)).alias("max_hop_km"),
+        F.when(
+            n > 0, F.sum("hop_um").cast("double") / (n * F.lit(1000000)).cast("double")
+        ).alias("mean_hop_km"),
     )

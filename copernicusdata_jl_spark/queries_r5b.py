@@ -405,7 +405,11 @@ FROM q GROUP BY 1 ORDER BY tile
 """
 
 
-_FUZZY_BITS, _FUZZY_BAND_BITS, _FUZZY_MAX_DIST = 32, 16, 120
+# bit width MUST stay the oracle's _simhash_sql width (queries_ext),
+# since _fuzzy_sql bands the fingerprint that CTE produces
+from .queries_ext import _SIMBITS as _FUZZY_BITS  # noqa: E402
+
+_FUZZY_BAND_BITS, _FUZZY_MAX_DIST = 16, 120
 
 
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,12 +447,15 @@ bands AS ({bands}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (band, key) WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b, levenshtein(da.text, db.text) AS dist
+  FROM pairs
+  JOIN documents da ON da.doc_id = id_a
+  JOIN documents db ON db.doc_id = id_b
 )
-SELECT id_a, id_b, levenshtein(da.text, db.text) AS dist
-FROM pairs
-JOIN documents da ON da.doc_id = id_a
-JOIN documents db ON db.doc_id = id_b
-WHERE levenshtein(da.text, db.text) <= {_FUZZY_MAX_DIST}
+SELECT id_a, id_b, dist FROM verified
+WHERE dist <= {_FUZZY_MAX_DIST}
 ORDER BY id_a, id_b
 """
 
@@ -556,7 +563,7 @@ R5B_REGISTRY.update(
 # ---------------------------------------------------------------------------
 
 _DB_STEP, _DB_MINPTS = 5.0, 8
-_KEY_BASE = 1_000_000
+from .operators.density import _KEY_BASE  # noqa: E402  (oracle must share the operator's key arithmetic)
 
 
 def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -314,34 +314,29 @@ def test_fuzzy_neardup_bounded_distance_is_exact(spark):
     assert got[(1, 2)] == 1 and got[(1, 3)] == 2 and got[(2, 3)] == 3
 
 
-def test_tfidf_ranking_tiny(spark):
-    from copernicusdata_jl_spark.queries_r5b import _TFIDF_K  # noqa: F401
+def test_tfidf_ranking_tiny(spark, tmp_path):
+    # drive the PRODUCTION query (not a re-implementation) over a tiny
+    # documents table staged in the sf_dir layout it expects
+    from copernicusdata_jl_spark.queries_r5b import q_tfidf_topterms
 
     rows = [
         (1, "apple apple banana shared"),
         (2, "banana cherry shared"),
         (3, "cherry date shared"),
     ]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql import Window
-
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
-    top = (
-        tf.join(dfreq, "tok").crossJoin(F.broadcast(n))
-        .select("doc_id", "tok", score.alias("score"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
+    spark.createDataFrame(rows, "doc_id long, text string").toPandas().to_parquet(
+        tmp_path / "documents.parquet"
     )
-    got = {r["doc_id"]: (r["tok"], r["score"]) for r in top.collect()}
+    out = q_tfidf_topterms(spark, str(tmp_path)).collect()
+    top1 = {r["doc_id"]: (r["tok"], r["score"]) for r in out if r["rank"] == 1}
     # doc 1: apple tf=2 df=1 -> 6.0 beats banana (tf=1, df=2 -> 1.5)
-    assert got[1] == ("apple", 6.0)
+    assert top1[1] == ("apple", 6.0)
     # doc 3: date tf=1 df=1 -> 3.0 beats cherry (df=2) and shared (df=3)
-    assert got[3] == ("date", 3.0)
+    assert top1[3] == ("date", 3.0)
+    # per-doc ranks are dense from 1 and capped at k
+    for d in (1, 2, 3):
+        ranks = sorted(r["rank"] for r in out if r["doc_id"] == d)
+        assert ranks == list(range(1, len(ranks) + 1)) and ranks[-1] <= 5
 
 
 def test_value_histogram_cdf_monotone(spark):
